@@ -1,0 +1,35 @@
+"""Global configuration for dorknet_tpu.
+
+The reference framework is fp32 everywhere (NumPy/CuPy float32). We keep fp32 as
+the default for numerics parity, but expose a compute-dtype policy so the MXU can
+run matmuls/convs in bfloat16 with fp32 accumulation (params always stay fp32).
+"""
+
+import jax.numpy as jnp
+
+_COMPUTE_DTYPE = jnp.float32
+_USE_PALLAS = True
+
+
+def set_compute_dtype(dtype):
+    """Set the dtype used for conv/matmul inputs inside the jitted step.
+
+    Params and optimiser state remain float32; accumulation is always float32
+    (``preferred_element_type``). Pass ``jnp.bfloat16`` for MXU-friendly compute.
+    """
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def set_use_pallas(flag: bool):
+    """Enable/disable Pallas fast-path kernels (XLA-native ops are the fallback)."""
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS

@@ -1,0 +1,31 @@
+"""ReLU activation.
+
+The reference caches a 0/1 ``positive_locs`` mask computed as ``out > 0`` during
+training forward and multiplies it into the upstream gradient
+(reference: layers/activations.py:14-47, layers/relu_cy.pyx). We express ReLU as
+``jnp.where(x > 0, x, 0)`` whose autodiff gradient is exactly that mask
+(strictly zero at x == 0, matching the reference's semantics), and the mask trick
+itself dissolves into the fused XLA graph."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dorknet_tpu.layers.base import Layer
+from dorknet_tpu.utils import h5io
+
+
+class ReLu(Layer):
+    def __init__(self, layer_name):
+        super().__init__(layer_name)
+
+    def __repr__(self):
+        return "ReLu({})".format(self.layer_name)
+
+    def fapply(self, params, state, x, train):
+        return jnp.where(x > 0, x, jnp.zeros_like(x)), state
+
+    def save_to_h5(self, open_f, save_grads=True):
+        h5io.create_layer_info(open_f, self.layer_name, "ReLu")
+
+    def load_from_h5(self, open_f, load_grads=True):
+        pass

@@ -1,0 +1,87 @@
+"""Trainer — the fully-fused fast path: forward + backward + optimiser update in
+ONE donated jitted XLA program per step.
+
+The reference-compatible triple (``network.forward`` / ``network.backward`` /
+``optimiser.update_weights``) costs two dispatches per step; this collapses them
+to one and lets XLA overlap the weight update with the tail of the backward pass.
+Params/opt-state buffers are donated, so the step is in-place in HBM.
+
+Works on any device layout: pass ``batch_sharding``/``param_sharding`` (see
+``dorknet_tpu.parallel``) to run data/model-parallel over a mesh — the batch-norm
+means and the gradient reductions become ICI collectives automatically because
+jit arrays have global semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dorknet_tpu.layers.base import to_nhwc
+
+
+class Trainer:
+    def __init__(self, network, optimiser, batch_sharding=None, param_sharding=None):
+        self.network = network
+        self.optimiser = optimiser
+        self.batch_sharding = batch_sharding
+        self.param_sharding = param_sharding
+        self._jit_cache = {}
+        self._cache = None  # optimiser state over the FULL network params tree
+
+    def _signature(self):
+        return (self.network._version,
+                tuple(l._trace_signature() for l in self.network.layers))
+
+    def _get_step(self):
+        key = self._signature()
+        if key not in self._jit_cache:
+            network = self.network
+            optimiser = self.optimiser
+
+            def step(params, states, cache, X, y_one_hot, lr):
+                def objective(p):
+                    x, new_states, reported_reg, full_reg, _ = network._run_layers(
+                        p, states, to_nhwc(X), train=True)
+                    data_loss, probs = network.loss_layer.fapply_loss(x, y_one_hot)
+                    return data_loss + full_reg, (data_loss + reported_reg,
+                                                  probs, new_states)
+
+                grads, (loss, probs, new_states) = jax.grad(
+                    objective, has_aux=True)(params)
+                new_params, new_cache = optimiser.apply_update(params, grads, cache, lr)
+                preds = jnp.argmax(probs, axis=1)
+                return new_params, new_states, new_cache, loss, preds
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 1, 2))
+        return self._jit_cache[key]
+
+    def _place_batch(self, X, y):
+        X = jnp.asarray(X, dtype=jnp.float32)
+        y = jnp.asarray(y, dtype=jnp.float32)
+        if self.batch_sharding is not None:
+            X = jax.device_put(X, self.batch_sharding)
+            y = jax.device_put(y, self.batch_sharding)
+        return X, y
+
+    def step(self, X, y_one_hot):
+        """One fused train step. Returns (loss, predicted_class_ids) as device
+        arrays (don't block on them — the next step can be dispatched while these
+        materialise)."""
+        network = self.network
+        params = network.gather_params()
+        states = network.gather_states()
+        if self.param_sharding is not None:
+            params = jax.device_put(params, self.param_sharding)
+        if self._cache is None:
+            self._cache = self.optimiser.init_cache(params)
+        X, y_one_hot = self._place_batch(X, y_one_hot)
+
+        fn = self._get_step()
+        new_params, new_states, self._cache, loss, preds = fn(
+            params, states, self._cache, X, y_one_hot,
+            jnp.float32(self.optimiser.learning_rate))
+
+        for l, p in zip(network.layers, new_params):
+            l.set_params(p)
+        network.scatter_states(new_states)
+        return loss, preds

@@ -1,0 +1,95 @@
+"""Convolution / dense ops.
+
+TPU-first design notes
+----------------------
+The reference implements standard convolution as im2col (Cython/OpenMP on CPU,
+a CUDA RawKernel on GPU) followed by a GEMM (reference: layers/convolution.py:58-87),
+and depthwise convolution as a direct per-channel loop
+(reference: layers/depthwise_convolution.py:66-102). On TPU both lower onto the MXU
+through ``lax.conv_general_dilated`` — XLA performs the im2col-as-matmul
+transformation itself, tiles onto the 128x128 systolic array and fuses the bias add,
+so no hand-written patch extraction is needed or wanted. Pointwise (1x1) conv with
+stride>1 keeps the reference's subsample-then-GEMM semantics
+(reference: layers/pointwise_convolution.py:46-55 slices ``X[:,:,::s,::s]`` first),
+which is mathematically identical to a strided 1x1 conv but cheaper.
+
+Layouts: activations NHWC, weights kept in the reference's layouts and transposed
+at trace time (a transpose of a small weight tensor per step, fused by XLA).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dorknet_tpu.config import get_compute_dtype
+
+
+def _cast_in(x):
+    dt = get_compute_dtype()
+    return x.astype(dt) if x.dtype != dt else x
+
+
+def conv2d(x, w_oihw, b=None, stride=1, padding=0):
+    """Standard conv. x: (N,H,W,C); w_oihw: (O,I,fh,fw) (reference layout).
+
+    Returns (N,P,Q,O) float32.
+    """
+    w = jnp.transpose(w_oihw, (2, 3, 1, 0))  # -> HWIO
+    y = lax.conv_general_dilated(
+        _cast_in(x),
+        _cast_in(w),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.reshape(1, 1, 1, -1)
+    return y
+
+
+def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
+    """Depthwise conv. x: (N,H,W,C); w: (C,fh,fw) (reference layout).
+
+    Lowered via ``feature_group_count=C`` — one MXU-friendly grouped conv instead
+    of the reference's per-(batch,channel) scalar loops
+    (reference: layers/im2col.pyx:109-139).
+    """
+    C = w_cfhfw.shape[0]
+    w = jnp.transpose(w_cfhfw, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C) HWIO, groups=C
+    y = lax.conv_general_dilated(
+        _cast_in(x),
+        _cast_in(w),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.reshape(1, 1, 1, -1)
+    return y
+
+
+def pointwise_conv2d(x, w_oc, b=None, stride=1):
+    """1x1 conv as a single GEMM over (N*H*W, C) @ (C, O).
+
+    Stride>1 keeps the reference's subsample-first semantics
+    (reference: layers/pointwise_convolution.py:48-49): output spatial size is
+    ceil(H/s), and the backward pass scatters gradients only to the sampled grid
+    (autodiff through the slice reproduces that exactly).
+    """
+    if stride > 1:
+        x = x[:, ::stride, ::stride, :]
+    y = jnp.dot(_cast_in(x), _cast_in(w_oc.T), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.reshape(1, 1, 1, -1)
+    return y
+
+
+def dense(x, w_io, b=None):
+    """Dense: (N,in) @ (in,out) + b (reference: layers/dense_layer.py:47-55)."""
+    y = jnp.dot(_cast_in(x), _cast_in(w_io), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.reshape(1, -1)
+    return y

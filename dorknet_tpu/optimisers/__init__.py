@@ -1,0 +1,5 @@
+from dorknet_tpu.optimisers.SGD import SGD
+from dorknet_tpu.optimisers.SGDMomentum import SGDMomentum
+from dorknet_tpu.optimisers.RMSProp import RMSProp
+
+__all__ = ["SGD", "SGDMomentum", "RMSProp"]

@@ -1,0 +1,68 @@
+"""Optimiser base: one jitted pytree update instead of a per-param Python loop.
+
+The reference optimisers walk a (layer, param) Python loop issuing one in-place
+array op per parameter per step (reference: optimisers/SGDMomentum.py:31-39).
+Here the whole update is a single jitted ``tree_map`` over the network's params
+pytree — one XLA program, buffers donated.
+
+Composite-layer traversal: the reference's SGD/RMSProp re-append the outer layer
+instead of the inner one (a bug — ResidualBlock inner params never update,
+reference: optimisers/SGD.py:8-11), and no reference optimiser ever updates a
+ResidualBlock's ``skip_projection`` / ``post_skip_activation`` (only
+``layer_list`` is walked, optimisers/SGDMomentum.py:8-14). Both defects are
+fixed here: we update through each top-level layer's full params pytree, which
+includes every nested child. (Divergence from reference noted per SURVEY §2.4.)
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _has_params(layer):
+    return len(jax.tree_util.tree_leaves(layer.get_params())) > 0
+
+
+class Optimiser:
+    def __init__(self, network, learning_rate):
+        self.network = network
+        self.learnable_layers = [l for l in network.layers if _has_params(l)]
+        self.learning_rate = learning_rate
+        self._update_jit = None
+
+    def set_learning_rate(self, new_lr):
+        self.learning_rate = new_lr
+
+    def multiply_learning_rate(self, multiplier):
+        self.learning_rate *= multiplier
+
+    # -- pytree plumbing ---------------------------------------------------- #
+    def gather_params(self):
+        return [l.get_params() for l in self.learnable_layers]
+
+    def gather_grads(self):
+        return [l.get_grads() for l in self.learnable_layers]
+
+    def scatter_params(self, new_params):
+        for l, p in zip(self.learnable_layers, new_params):
+            l.set_params(p)
+
+    # -- functional update (overridden; used by both paths) ------------------ #
+    def init_cache(self, params):
+        """Optimiser state pytree for ``params`` ({} if stateless)."""
+        return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def apply_update(self, params, grads, cache, lr):
+        """Pure: (params, grads, cache, lr) -> (new_params, new_cache)."""
+        raise NotImplementedError
+
+    # -- reference-compatible API -------------------------------------------- #
+    def update_weights(self):
+        params = self.gather_params()
+        grads = self.gather_grads()
+        if getattr(self, "grad_cache", None) is None:
+            self.grad_cache = self.init_cache(params)
+        if self._update_jit is None:
+            self._update_jit = jax.jit(self.apply_update, donate_argnums=(0, 2))
+        new_params, self.grad_cache = self._update_jit(
+            params, grads, self.grad_cache, jnp.float32(self.learning_rate))
+        self.scatter_params(new_params)

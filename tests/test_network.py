@@ -1,0 +1,167 @@
+"""FeedForwardNetwork end-to-end: the fused jitted step vs the reference
+semantics — loss decreases, grads flow, taps work, Trainer == compat path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dorknet_tpu.network import FeedForwardNetwork, Trainer
+from dorknet_tpu.layers import (
+    ConvLayer, BatchNormLayer, ReLu, GlobalAveragePoolingLayer, DenseLayer,
+    SoftmaxWithCrossEntropy, ResidualBlock, DepthwiseConvLayer,
+    PointwiseConvLayer, MaxPoolLayer,
+)
+from dorknet_tpu.regularisers.l2 import l2
+from dorknet_tpu.optimisers import SGD, SGDMomentum, RMSProp
+
+
+def small_net(n_classes=5, seed=0):
+    np.random.seed(seed)
+    net = FeedForwardNetwork("tiny")
+    net.add_layer(ConvLayer("conv1", filter_block_shape=(8, 3, 3, 3),
+                            with_bias=False, weight_regulariser=l2(1e-4),
+                            weight_initialiser="glorot_uniform"))
+    net.add_layer(BatchNormLayer("bn1", incoming_chans=8))
+    net.add_layer(ReLu("relu1"))
+    net.add_layer(MaxPoolLayer("mp1", None, stride=2))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("dense1", incoming_chans=8, output_dim=n_classes,
+                             weight_regulariser=l2(1e-4),
+                             weight_initialiser="glorot_uniform"))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+    return net
+
+
+def toy_batch(B=16, n_classes=5, seed=1):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, n_classes, B)
+    # class-dependent signal so the net can actually learn
+    X = rng.randn(B, 3, 8, 8).astype(np.float32) * 0.1
+    for i, yi in enumerate(y):
+        X[i, yi % 3, :, :] += 1.0 + yi
+    one_hot = np.eye(n_classes, dtype=np.float32)[y]
+    return X, y, one_hot
+
+
+def test_forward_backward_update_loop_learns():
+    net = small_net()
+    opt = SGDMomentum(net, 0.1, 0.9)
+    X, y, one_hot = toy_batch()
+    losses = []
+    for _ in range(30):
+        loss, scores = net.forward(X, one_hot)
+        net.backward()
+        opt.update_weights()
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+    # grads got distributed into layer dicts
+    assert np.asarray(net.layers[0].grads["weights"]).any()
+
+
+def test_test_mode_and_accuracy_loop():
+    net = small_net()
+    opt = SGDMomentum(net, 0.1, 0.9)
+    X, y, one_hot = toy_batch(B=20)
+    for _ in range(40):
+        net.forward(X, one_hot)
+        net.backward()
+        opt.update_weights()
+
+    def gen():
+        yield X, y, one_hot
+
+    acc = net.test(gen(), 20, 20)
+    assert acc > 0.8
+    # test-mode forward returns (0, probs)
+    zero, probs = net.forward(X, y_one_hot=None, test_mode=True)
+    assert zero == 0
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_terminal_layer_tap():
+    net = small_net()
+    X, _, one_hot = toy_batch()
+    _, feats = net.forward(X, one_hot, test_mode=False, terminal_layer_name="relu1")
+    assert np.asarray(feats).shape == (16, 8, 8, 8)
+    # train-mode tap must NOT mutate BN running stats (unlike the reference's
+    # CAM side-effect, SURVEY §3.3)
+    assert net.layers[1].non_learned_params["running_mean"] is None
+    _, feats_t = net.forward(X, one_hot, test_mode=True, terminal_layer_name="conv1")
+    assert np.asarray(feats_t).shape == (16, 8, 8, 8)
+
+
+def test_trainer_fused_step_matches_compat_path():
+    X, y, one_hot = toy_batch()
+
+    net_a = small_net(seed=7)
+    opt_a = SGDMomentum(net_a, 0.05, 0.9)
+    net_b = small_net(seed=7)  # identical init
+    opt_b = SGDMomentum(net_b, 0.05, 0.9)
+    trainer = Trainer(net_b, opt_b)
+
+    losses_a, losses_b = [], []
+    for _ in range(5):
+        loss, _ = net_a.forward(X, one_hot)
+        net_a.backward()
+        opt_a.update_weights()
+        losses_a.append(float(loss))
+        loss_b, _ = trainer.step(X, one_hot)
+        losses_b.append(float(loss_b))
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
+        np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_resnet_style_network_trains():
+    np.random.seed(3)
+    net = FeedForwardNetwork("mini-resnet")
+    net.add_layer(ConvLayer("conv0", filter_block_shape=(8, 3, 3, 3), stride=1,
+                            padding=1, with_bias=False, weight_regulariser=l2(1e-4)))
+    net.add_layer(BatchNormLayer("conv0_bn", incoming_chans=8))
+    net.add_layer(ReLu("conv0_relu"))
+    inner = [
+        DepthwiseConvLayer("res_dw", filter_block_shape=(8, 3, 3), stride=2,
+                           padding=1, with_bias=False),
+        BatchNormLayer("res_dw_bn", incoming_chans=8),
+        PointwiseConvLayer("res_pw", filter_block_shape=(16, 8), with_bias=False,
+                           weight_regulariser=l2(1e-4)),
+        BatchNormLayer("res_pw_bn", incoming_chans=16),
+    ]
+    skip = PointwiseConvLayer("res_skip", filter_block_shape=(16, 8), stride=2,
+                              with_bias=False, weight_regulariser=l2(1e-4))
+    net.add_layer(ResidualBlock("res1", layer_list=inner, skip_projection=skip,
+                                post_skip_activation=ReLu("res1_relu")))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("dense1", incoming_chans=16, output_dim=4,
+                             weight_regulariser=l2(1e-4)))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+    opt = SGDMomentum(net, 0.05, 0.9)
+    trainer = Trainer(net, opt)
+    X, y, one_hot = toy_batch(B=12, n_classes=4)
+    res = net.layers[3]
+    skip_w0 = np.asarray(res.skip_projection.learned_params["weights"]).copy()
+    losses = []
+    for _ in range(25):
+        loss, _ = trainer.step(X, one_hot)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    # the skip projection's params were updated (fixed-by-design vs the
+    # reference, whose optimisers never walk skip_projection —
+    # optimisers/base.py docstring)
+    skip_w1 = np.asarray(res.skip_projection.learned_params["weights"])
+    assert not np.allclose(skip_w0, skip_w1)
+
+
+def test_no_loss_layer_forward():
+    net = FeedForwardNetwork("headless")
+    net.add_layer(ConvLayer("c", filter_block_shape=(4, 3, 3, 3), with_bias=True))
+    X = np.random.randn(2, 3, 6, 6).astype(np.float32)
+    loss, out = net.forward(X, None)
+    assert loss == 0
+    assert np.asarray(out).shape == (2, 4, 6, 6)

@@ -1,0 +1,78 @@
+"""Optimiser update formulas vs manual NumPy (reference formulas, SURVEY §2.4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dorknet_tpu.network import FeedForwardNetwork
+from dorknet_tpu.layers import DenseLayer, SoftmaxWithCrossEntropy
+from dorknet_tpu.optimisers import SGD, SGDMomentum, RMSProp
+
+
+def _net_with_known_grads(seed=0):
+    np.random.seed(seed)
+    net = FeedForwardNetwork("opt-test")
+    net.add_layer(DenseLayer("d1", incoming_chans=6, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+    X = np.random.randn(8, 6).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[np.random.randint(0, 4, 8)]
+    net.forward(X, y)
+    net.backward()
+    return net
+
+
+def test_sgd_formula():
+    net = _net_with_known_grads()
+    layer = net.layers[0]
+    w0 = np.asarray(layer.learned_params["weights"]).copy()
+    g = np.asarray(layer.grads["weights"]).copy()
+    opt = SGD(net, 0.1)
+    opt.update_weights()
+    np.testing.assert_allclose(np.asarray(layer.learned_params["weights"]),
+                               w0 - 0.1 * g, rtol=1e-5, atol=1e-7)
+
+
+def test_sgd_momentum_formula_two_steps():
+    net = _net_with_known_grads()
+    layer = net.layers[0]
+    opt = SGDMomentum(net, 0.1, 0.9)
+
+    w0 = np.asarray(layer.learned_params["weights"]).copy()
+    g1 = np.asarray(layer.grads["weights"]).copy()
+    opt.update_weights()
+    dx1 = -0.1 * g1
+    np.testing.assert_allclose(np.asarray(layer.learned_params["weights"]),
+                               w0 + dx1, rtol=1e-5, atol=1e-7)
+
+    # second step: dx = -lr*g + m*v (reference SGDMomentum.py:31-39)
+    X = np.random.randn(8, 6).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[np.random.randint(0, 4, 8)]
+    net.forward(X, y)
+    net.backward()
+    g2 = np.asarray(layer.grads["weights"]).copy()
+    w1 = np.asarray(layer.learned_params["weights"]).copy()
+    opt.update_weights()
+    dx2 = -0.1 * g2 + 0.9 * dx1
+    np.testing.assert_allclose(np.asarray(layer.learned_params["weights"]),
+                               w1 + dx2, rtol=1e-5, atol=1e-6)
+
+
+def test_rmsprop_formula():
+    net = _net_with_known_grads()
+    layer = net.layers[0]
+    opt = RMSProp(net, 0.01, 0.9)
+    w0 = np.asarray(layer.learned_params["weights"]).copy()
+    g = np.asarray(layer.grads["weights"]).copy()
+    opt.update_weights()
+    c = (1 - 0.9) * g ** 2
+    expected = w0 - 0.01 * g / np.sqrt(c + 1e-5)
+    np.testing.assert_allclose(np.asarray(layer.learned_params["weights"]),
+                               expected, rtol=1e-4, atol=1e-6)
+
+
+def test_learning_rate_setters():
+    net = _net_with_known_grads()
+    opt = SGDMomentum(net, 0.1, 0.9)
+    opt.set_learning_rate(0.05)
+    assert opt.learning_rate == 0.05
+    opt.multiply_learning_rate(0.5)
+    assert abs(opt.learning_rate - 0.025) < 1e-12
