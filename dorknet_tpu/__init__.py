@@ -20,6 +20,8 @@ The public object API mirrors the reference so its example scripts run unchanged
 
 from dorknet_tpu import config
 from dorknet_tpu.config import (
+    set_matmul_precision,
+    get_matmul_precision,
     set_compute_dtype,
     get_compute_dtype,
     set_use_pallas,

@@ -1,0 +1,83 @@
+"""Class Activation Maps — one jitted inference call.
+
+The reference CAM flow (examples/imagenet_dogs_225_resnet_18_depsep_CAM.py:13-89)
+runs TWO full forwards per image (test-mode scores, then a train-mode forward
+early-exited at the res8 tap — mutating BN running stats as a side effect) and
+does the W·features projection, resize, relu and min-max normalisation on host
+with cv2. Here the whole thing — both forwards (XLA CSEs the shared trunk), the
+projection, bilinear upsample and normalisation — is a single jitted program,
+and the tap keeps the reference's batch-stat normalisation WITHOUT the state
+mutation (SURVEY §3.3 flags that side effect).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dorknet_tpu.layers.base import to_nhwc
+
+_cam_cache = {}
+
+
+def _build_cam_fn(net, top_k, terminal_layer_name, out_size):
+    def fn(params, states, X):
+        x = to_nhwc(X)
+        # test-mode forward for class scores
+        out, _, _, _, _ = net._run_layers(params, states, x, train=False)
+        from dorknet_tpu.ops.loss import softmax_probs
+        scores = softmax_probs(out)[0]
+        # train-mode(batch-stat) forward tapped at the terminal layer, state
+        # updates discarded
+        _, _, _, _, tapped = net._run_layers(
+            params, states, x, train=True, terminal_layer_name=terminal_layer_name)
+        feats = tapped[0]  # (H, W, C)
+        H, W, C = feats.shape
+
+        top = jnp.argsort(scores)[::-1][:top_k]
+        dense_w = None
+        for l, p in zip(net.layers, params):
+            if l.layer_name == "dense1" or l.__class__.__name__ == "DenseLayer":
+                dense_w = p["weights"]  # (C, num_classes)
+        w_sel = dense_w.T[top]  # (top_k, C)
+
+        cam = jnp.einsum("kc,hwc->khw", w_sel, feats)
+        cam = jax.image.resize(cam, (top_k, out_size, out_size), method="bilinear")
+        cam = jnp.maximum(cam, 0)
+        cam = cam - jnp.min(cam, axis=(1, 2), keepdims=True)
+        mx = jnp.max(cam, axis=(1, 2), keepdims=True)
+        cam = jnp.where(mx > 0, cam / mx, cam)
+        return scores, top, cam
+
+    return jax.jit(fn)
+
+
+def compute_cam_scores(net, X, top_k=3, terminal_layer_name="res8", out_size=225):
+    """Returns (scores (num_classes,), cams (top_k, out_size, out_size)) for a
+    single image batch X of shape (1, 3, H, W). cams are relu'd and min-max
+    normalised to [0, 1], ordered by descending class score."""
+    key = (id(net), net._version, top_k, terminal_layer_name, out_size,
+           tuple(l._trace_signature() for l in net.layers))
+    if key not in _cam_cache:
+        _cam_cache[key] = _build_cam_fn(net, top_k, terminal_layer_name, out_size)
+    fn = _cam_cache[key]
+    scores, top, cam = fn(net.gather_params(), net.gather_states(),
+                          jnp.asarray(X, jnp.float32))
+    return scores, cam
+
+
+def returnCAM(feature_conv, weight_softmax, class_idx, size_upsample=(225, 225)):
+    """Host-side API shim matching the reference's returnCAM signature
+    (CAM example :13-32): feature_conv (1,C,H,W) numpy, weight_softmax
+    (num_classes, C), class_idx iterable. Returns a list of (H,W) float arrays."""
+    bz, chans, height, width = feature_conv.shape
+    output_cam = []
+    for idx in class_idx:
+        cam = weight_softmax[idx].dot(feature_conv.reshape(chans, height * width))
+        cam = cam.reshape(height, width)
+        cam = np.asarray(jax.image.resize(jnp.asarray(cam), size_upsample, "bilinear"))
+        cam = np.maximum(cam, 0)
+        cam = cam - np.min(cam)
+        if np.max(cam) > 0:
+            cam = cam / np.max(cam)
+        output_cam.append(cam)
+    return output_cam

@@ -9,6 +9,20 @@ import jax.numpy as jnp
 
 _COMPUTE_DTYPE = jnp.float32
 _USE_PALLAS = True
+_MATMUL_PRECISION = None  # None = backend default (bf16 passes on TPU MXU)
+
+
+def set_matmul_precision(precision):
+    """Set lax precision for conv/dot ops: None (backend default — fastest on
+    TPU, single bf16 MXU pass), "highest" (fp32-faithful, ~3-6 bf16 passes) or
+    any ``lax.Precision``. Use "highest" for strict numerics parity with the
+    fp32 reference on TPU; CPU is always true fp32."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = precision
+
+
+def get_matmul_precision():
+    return _MATMUL_PRECISION
 
 
 def set_compute_dtype(dtype):

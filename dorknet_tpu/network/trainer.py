@@ -56,11 +56,16 @@ class Trainer:
         return self._jit_cache[key]
 
     def _place_batch(self, X, y):
-        X = jnp.asarray(X, dtype=jnp.float32)
-        y = jnp.asarray(y, dtype=jnp.float32)
-        if self.batch_sharding is not None:
-            X = jax.device_put(X, self.batch_sharding)
-            y = jax.device_put(y, self.batch_sharding)
+        # device_put (async) — measurably faster than jnp.asarray through the
+        # host↔TPU link, and already-placed jax.Arrays pass through untouched.
+        # For real input pipelines use data_loading.device_prefetch to overlap
+        # the transfer with the previous step's compute.
+        if not isinstance(X, jax.Array):
+            X = np.ascontiguousarray(X, dtype=np.float32)
+        if not isinstance(y, jax.Array):
+            y = np.ascontiguousarray(y, dtype=np.float32)
+        X = jax.device_put(X, self.batch_sharding)
+        y = jax.device_put(y, self.batch_sharding)
         return X, y
 
     def step(self, X, y_one_hot):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dorknet_tpu.config import get_compute_dtype
+from dorknet_tpu.config import get_compute_dtype, get_matmul_precision
 
 
 def _cast_in(x):
@@ -42,6 +42,7 @@ def conv2d(x, w_oihw, b=None, stride=1, padding=0):
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=get_matmul_precision(),
     )
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
@@ -65,6 +66,7 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
         preferred_element_type=jnp.float32,
+        precision=get_matmul_precision(),
     )
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
@@ -81,7 +83,8 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
     """
     if stride > 1:
         x = x[:, ::stride, ::stride, :]
-    y = jnp.dot(_cast_in(x), _cast_in(w_oc.T), preferred_element_type=jnp.float32)
+    y = jnp.dot(_cast_in(x), _cast_in(w_oc.T), preferred_element_type=jnp.float32,
+                precision=get_matmul_precision())
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
     return y
@@ -89,7 +92,8 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
 
 def dense(x, w_io, b=None):
     """Dense: (N,in) @ (in,out) + b (reference: layers/dense_layer.py:47-55)."""
-    y = jnp.dot(_cast_in(x), _cast_in(w_io), preferred_element_type=jnp.float32)
+    y = jnp.dot(_cast_in(x), _cast_in(w_io), preferred_element_type=jnp.float32,
+                precision=get_matmul_precision())
     if b is not None:
         y = y + b.reshape(1, -1)
     return y

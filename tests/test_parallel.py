@@ -1,0 +1,111 @@
+"""Multi-chip behaviour on the virtual 8-device CPU platform: DP batch sharding
+(with free cross-replica BN), TP weight sharding, numerics identical to
+single-device (global jit semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dorknet_tpu.network import FeedForwardNetwork, Trainer
+from dorknet_tpu.layers import (
+    ConvLayer, BatchNormLayer, ReLu, GlobalAveragePoolingLayer, DenseLayer,
+    SoftmaxWithCrossEntropy,
+)
+from dorknet_tpu.regularisers.l2 import l2
+from dorknet_tpu.optimisers import SGDMomentum
+from dorknet_tpu.parallel import (
+    make_mesh, batch_sharding, replicated,
+    model_parallel_param_shardings, shard_network_params,
+)
+
+
+def build(seed):
+    np.random.seed(seed)
+    net = FeedForwardNetwork("par")
+    net.add_layer(ConvLayer("c1", filter_block_shape=(16, 3, 3, 3), with_bias=False,
+                            weight_regulariser=l2(1e-4)))
+    net.add_layer(BatchNormLayer("bn1", incoming_chans=16))
+    net.add_layer(ReLu("r1"))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d1", incoming_chans=16, output_dim=8))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+    return net
+
+
+def batch(B=16, seed=1):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(B, 3, 8, 8).astype(np.float32)
+    y = rng.randint(0, 8, B)
+    return X, np.eye(8, dtype=np.float32)[y]
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device():
+    """Batch sharded over 8 devices must give the SAME loss/params trajectory as
+    unsharded — global-semantics BN stats and grad all-reduce are exact."""
+    X, y = batch(16)
+
+    net_a = build(5)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"data": 8})
+    net_b = build(5)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh),
+                   param_sharding=[jax.tree_util.tree_map(
+                       lambda _: replicated(mesh), p)
+                       for p in net_b.gather_params()])
+
+    for _ in range(4):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-4, atol=1e-5)
+    # BN running stats came from GLOBAL batch stats
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
+        np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
+        rtol=1e-4, atol=1e-6)
+    # the sharded trainer's batch really was distributed
+    placed = tr_b._place_batch(X, y)[0]
+    assert len(placed.sharding.device_set) == 8
+
+
+def test_tp_sharded_params_train():
+    """2-way model parallel x 4-way data parallel trains and matches the
+    single-device trajectory."""
+    X, y = batch(16)
+    net_a = build(9)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    net_b = build(9)
+    shardings = model_parallel_param_shardings(net_b, mesh, axis="model")
+    shard_network_params(net_b, shardings)
+    # conv weights (16,3,3,3): O=16 divisible by 2 → sharded over model axis
+    w = net_b.layers[0].learned_params["weights"]
+    assert len(w.sharding.device_set) == 8
+
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh))
+    for _ in range(3):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+
+def test_device_prefetch():
+    from dorknet_tpu.data_loading.prefetch import device_prefetch
+
+    batches = [batch(4, seed=i) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for (Xh, yh), (Xd, yd) in zip(batches, out):
+        assert isinstance(Xd, jax.Array)
+        np.testing.assert_array_equal(np.asarray(Xd), Xh)
