@@ -1,0 +1,2 @@
+"""Reference-import compatibility shim: the reference's examples import top-level packages (e.g. ``from data_loading.MNIST_data_loading import get_MNIST_data, epoch_image_generator``, see reference examples/*.py) — re-exported from dorknet_tpu so those scripts run unchanged."""
+from dorknet_tpu.data_loading.MNIST_data_loading import get_MNIST_data, epoch_image_generator

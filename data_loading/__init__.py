@@ -1,0 +1,1 @@
+"""Reference-import compatibility package (see module shims within)."""

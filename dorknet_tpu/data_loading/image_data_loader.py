@@ -1,0 +1,179 @@
+"""Threaded image-directory loader.
+
+Behavioural parity with the reference ImageDataLoader
+(data_loading/image_data_loader.py:9-122):
+
+* class discovery from ``base_folder/<class>/images/*`` directory structure,
+  class→index map in sorted-name order;
+* a background producer thread fills a bounded queue (maxsize 5) with
+  (X (B,C,H,W) float32, y_list, one_hot) batches; per-image decode fans out on a
+  ThreadPool of ``num_workers``;
+* sampling: class-balanced round-robin over per-class path cycles OR a flat
+  index cycle over all samples;
+* mixup: when ``mixup_range_tuple`` is set, each draw produces TWO batches —
+  the convex combinations lam*B2+(1-lam)*B1 and lam*B1+(1-lam)*B2 with matching
+  soft labels (reference :100-112);
+* the pause → drain → reshuffle → restart protocol of ``shuffle_indices``
+  (reference :52-69) and graceful ``stop_thread``.
+
+The thread coordination is re-implemented with Events (the reference's
+hand-rolled message-queue protocol is race-prone, SURVEY §5) but the observable
+behaviour — including pulling queued batches to unblock the producer — is the
+same. Consumption pairs with ``data_loading.device_prefetch`` to overlap the
+host→device copy with compute.
+"""
+
+import itertools
+import os
+import queue
+import threading
+from multiprocessing.pool import ThreadPool
+
+import numpy as np
+
+
+class ImageDataLoader:
+    def __init__(self, base_folder, batch_size, preprocessor,
+                 classes_from_dir_structure=True, num_workers=1,
+                 class_balance=True, mixup_range_tuple=None,
+                 start_thread=True):
+        self.keep_loading = True
+        self.preprocessor = preprocessor
+        self.mixup_range_tuple = mixup_range_tuple
+        self.base_folder = base_folder
+        self.num_workers = num_workers
+        self.batch_size = batch_size
+        self.batch_queue = queue.Queue(maxsize=5)
+        self.class_balance = class_balance
+        self._paused = threading.Event()
+        self._resume = threading.Event()
+        self._lock = threading.Lock()
+        self.keep_producing = True
+
+        if classes_from_dir_structure:
+            self.class_names = [c for c in os.listdir(base_folder)
+                                if os.path.isdir(os.path.join(base_folder, c))]
+            self.class_name_num_map = {name: num for num, name
+                                       in enumerate(sorted(self.class_names))}
+            class_name_to_image_paths_map = {
+                c_n: [os.path.join(base_folder, c_n, "images", f)
+                      for f in os.listdir(os.path.join(base_folder, c_n, "images"))]
+                for c_n in self.class_names}
+            self.class_name_to_image_iterator_map = {
+                c_n: itertools.cycle(p)
+                for c_n, p in class_name_to_image_paths_map.items()}
+            self.class_cycle = itertools.cycle(
+                self.class_name_to_image_iterator_map.items())
+            self.class_name_path_tuple_list = [
+                (c, p) for c in class_name_to_image_paths_map.keys()
+                for p in class_name_to_image_paths_map[c]]
+            self.index_cycle = itertools.cycle(
+                range(len(self.class_name_path_tuple_list)))
+            print("Number of samples: ", len(self.class_name_path_tuple_list))
+
+        self.queue_thread = threading.Thread(target=self.load_batch,
+                                             args=(self.class_balance,),
+                                             daemon=True)
+        if start_thread:
+            self.queue_thread.start()
+
+    # ------------------------------------------------------------------ #
+    def stop_thread(self):
+        self.keep_loading = False
+        self._resume.set()  # unblock a paused producer
+        # Drain so a producer blocked on put() can exit.
+        try:
+            while True:
+                self.batch_queue.get_nowait()
+        except queue.Empty:
+            pass
+        if self.queue_thread.is_alive():
+            self.queue_thread.join(timeout=10)
+
+    def shuffle_indices(self):
+        """Pause the producer, drain queued (stale-order) batches, reshuffle the
+        flat index cycle, restart (reference :52-69)."""
+        self._resume.clear()
+        self._paused.clear()
+        self.keep_producing = False
+        # wake a producer blocked on put() and wait until it acknowledges pause
+        while not self._paused.is_set():
+            try:
+                self.batch_queue.get(timeout=0.1)
+            except queue.Empty:
+                pass
+            if not self.queue_thread.is_alive():
+                break
+        try:
+            while True:
+                self.batch_queue.get_nowait()
+        except queue.Empty:
+            pass
+        with self._lock:
+            self.index_cycle = itertools.cycle(
+                list(np.random.permutation(len(self.class_name_path_tuple_list))))
+        self._resume.set()
+
+    # ------------------------------------------------------------------ #
+    def get_batch_list(self, class_balance=True):
+        while True:
+            X_batch_list, y_batch_list = [], []
+            with self._lock:
+                if class_balance:
+                    for _ in range(self.batch_size):
+                        c_name, path_cycle = next(self.class_cycle)
+                        y_batch_list.append(self.class_name_num_map[c_name])
+                        X_batch_list.append(next(path_cycle))
+                else:
+                    for _ in range(self.batch_size):
+                        c_name, path = self.class_name_path_tuple_list[
+                            next(self.index_cycle)]
+                        y_batch_list.append(self.class_name_num_map[c_name])
+                        X_batch_list.append(path)
+            yield X_batch_list, y_batch_list
+
+    def _decode_batch(self, pool, X_batch_list):
+        return np.stack(pool.map(self.preprocessor.load_image, X_batch_list), axis=0)
+
+    def load_batch(self, class_balance):
+        eye = np.eye(len(self.class_names), dtype=np.float32)
+        self.keep_producing = True
+        with ThreadPool(self.num_workers) as pool:
+            while self.keep_loading:
+                if not self.keep_producing:
+                    self._paused.set()
+                    self._resume.wait()
+                    self.keep_producing = True
+                    self._paused.clear()
+                    continue
+                X_batch_list, y_batch_list = next(
+                    self.get_batch_list(class_balance=class_balance))
+                X_batch = self._decode_batch(pool, X_batch_list)
+                one_hot_y = eye[np.asarray(y_batch_list)]
+                if self.mixup_range_tuple is not None:
+                    mixup_prop = np.random.uniform(*self.mixup_range_tuple)
+                    X_list_m, y_list_m = next(
+                        self.get_batch_list(class_balance=class_balance))
+                    X_batch_m = self._decode_batch(pool, X_list_m)
+                    one_hot_y_m = eye[np.asarray(y_list_m)]
+                    X_mixed = mixup_prop * X_batch_m + (1 - mixup_prop) * X_batch
+                    X_mixed_m = mixup_prop * X_batch + (1 - mixup_prop) * X_batch_m
+                    y_mixed = mixup_prop * one_hot_y_m + (1 - mixup_prop) * one_hot_y
+                    y_mixed_m = mixup_prop * one_hot_y + (1 - mixup_prop) * one_hot_y_m
+                    self._put((X_mixed, y_batch_list, y_mixed))
+                    self._put((X_mixed_m, y_list_m, y_mixed_m))
+                else:
+                    self._put((X_batch, y_batch_list, one_hot_y))
+
+    def _put(self, item):
+        while self.keep_loading:
+            try:
+                self.batch_queue.put(item, timeout=0.25)
+                return
+            except queue.Full:
+                if not self.keep_producing:
+                    return
+
+    def pull_batch(self, num_steps):
+        for _ in range(num_steps):
+            yield self.batch_queue.get()

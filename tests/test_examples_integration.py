@@ -1,0 +1,147 @@
+"""Integration: the reference's example-script patterns run unchanged against
+this framework (compat imports, MNISTNet training loop, checkpoint+CAM flow)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_reference_style_imports_and_training_loop(tmp_path):
+    """Exactly the import style and train/test loop of the reference's
+    examples/MNIST_basic_convnet.py, on synthetic MNIST-shaped data."""
+    from network.feed_forward_network import FeedForwardNetwork
+    from layers.convolution import ConvLayer
+    from layers.batch_norm import BatchNormLayer
+    from layers.activations import ReLu
+    from layers.pooling import GlobalAveragePoolingLayer
+    from layers.dense_layer import DenseLayer
+    from layers.losses import SoftmaxWithCrossEntropy
+    from regularisers.l2 import l2
+    from optimisers.SGDMomentum import SGDMomentum
+    from data_loading.MNIST_data_loading import epoch_image_generator
+
+    class SmallNet(FeedForwardNetwork):
+        def __init__(self, name):
+            super().__init__(name)
+            self.add_layer(ConvLayer("conv_1", filter_block_shape=(16, 1, 3, 3),
+                                     with_bias=False, weight_regulariser=l2(0.0001)))
+            self.add_layer(BatchNormLayer("bn_1", incoming_chans=16))
+            self.add_layer(ReLu("relu_1"))
+            self.add_layer(GlobalAveragePoolingLayer("global_pool"))
+            self.add_layer(DenseLayer("dense_1", incoming_chans=16, output_dim=10,
+                                      weight_regulariser=l2(0.0005)))
+            self.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+    rng = np.random.RandomState(0)
+    N = 400
+    y = rng.randint(0, 10, N)
+    X = 0.1 * rng.randn(N, 784).astype(np.float32)
+    X += (0.4 * y[:, None]).astype(np.float32)  # GAP-survivable class signal
+
+    network = SmallNet("MNISTDemo")
+    sgd = SGDMomentum(network, 0.05, 0.9)
+    first_loss = last_loss = None
+    for e in range(1, 13):
+        if e % 5 == 0:
+            sgd.multiply_learning_rate(0.1)
+        for X_batch, y_batch, y_one_hot in epoch_image_generator(X, y, 50,
+                                                                 num_classes=10):
+            loss, batch_scores = network.forward(X_batch, y_one_hot)
+            network.backward()
+            sgd.update_weights()
+            if first_loss is None:
+                first_loss = float(loss)
+            last_loss = float(loss)
+    assert last_loss < first_loss
+    test_acc = network.test(epoch_image_generator(X, y, 50, num_classes=10), 50, N)
+    assert test_acc > 0.3  # 10 heavily-overlapping classes, chance = 0.1
+
+
+def test_mnist_prepper_roundtrip(tmp_path, monkeypatch):
+    """scripts/MNISTprepper.py idx→npy conversion feeds get_MNIST_data."""
+    import struct
+    from scripts.MNISTprepper import read_idx
+    from dorknet_tpu.data_loading import get_MNIST_data
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "MNIST_data"
+    d.mkdir()
+
+    def write_idx_images(path, arr):
+        with open(path, "wb") as f:
+            f.write(struct.pack(">HBB", 0, 8, 3))
+            for s in arr.shape:
+                f.write(struct.pack(">I", s))
+            f.write(arr.tobytes())
+
+    def write_idx_labels(path, arr):
+        with open(path, "wb") as f:
+            f.write(struct.pack(">HBB", 0, 8, 1))
+            f.write(struct.pack(">I", arr.shape[0]))
+            f.write(arr.tobytes())
+
+    imgs = rng.randint(0, 255, (30, 28, 28), dtype=np.uint8)
+    labels = rng.randint(0, 10, 30).astype(np.uint8)
+    write_idx_images(d / "train-images-idx3-ubyte", imgs)
+    write_idx_labels(d / "train-labels-idx1-ubyte", labels)
+    write_idx_images(d / "t10k-images-idx3-ubyte", imgs[:10])
+    write_idx_labels(d / "t10k-labels-idx1-ubyte", labels[:10])
+
+    got = read_idx(str(d / "train-images-idx3-ubyte"))
+    np.testing.assert_array_equal(got, imgs)
+
+    np.save(d / "MNISTTrainImages.npy", imgs.reshape(30, -1))
+    np.save(d / "MNISTTrainLabels.npy", labels)
+    np.save(d / "MNISTTestImages.npy", imgs[:10].reshape(10, -1))
+    np.save(d / "MNISTTestLabels.npy", labels[:10])
+    X_train, y_train, X_val, y_val, X_test, y_test = get_MNIST_data(
+        num_training=20, num_validation=10, num_test=10, mnist_dir=str(d))
+    assert X_train.shape == (20, 784) and X_val.shape == (10, 784)
+    assert X_train.max() <= 1.0
+
+
+def test_cam_pipeline_on_trained_tiny_net(tmp_path):
+    """CAM flow: train → save → load → compute_cam_scores (jitted) + host
+    returnCAM shim produce normalised heatmaps."""
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.layers import (ConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.cam import compute_cam_scores, returnCAM
+
+    np.random.seed(0)
+    net = FeedForwardNetwork("cam-net")
+    net.add_layer(ConvLayer("conv1", filter_block_shape=(8, 3, 3, 3), with_bias=False))
+    net.add_layer(BatchNormLayer("bn1", incoming_chans=8))
+    net.add_layer(ReLu("res8"))  # tap point named like the flagship's
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("dense1", incoming_chans=8, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    X = np.random.randn(8, 3, 16, 16).astype(np.float32)
+    yoh = np.eye(4, dtype=np.float32)[np.random.randint(0, 4, 8)]
+    for _ in range(3):
+        tr.step(X, yoh)
+
+    h5f, jsf = str(tmp_path / "n.h5"), str(tmp_path / "n.json")
+    net.save_weights_to_h5(h5f)
+    net.save_layer_structure_to_json(jsf)
+    net2 = FeedForwardNetwork("")
+    net2.load_network_from_json_and_h5(jsf, h5f)
+
+    scores, cams = compute_cam_scores(net2, X[:1], top_k=3,
+                                      terminal_layer_name="res8", out_size=32)
+    assert np.asarray(scores).shape == (4,)
+    assert np.asarray(cams).shape == (3, 32, 32)
+    c = np.asarray(cams)
+    assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
+
+    # host shim parity on the same features
+    _, feats = net2.forward(X[:1], None, test_mode=False, terminal_layer_name="res8")
+    w = np.asarray(net2.layers[-1].learned_params["weights"]).T  # (4, 8)
+    best = np.argsort(np.asarray(scores))[::-1][:3]
+    cam_host = returnCAM(np.asarray(feats), w, best, size_upsample=(32, 32))
+    np.testing.assert_allclose(np.stack(cam_host), c, rtol=1e-3, atol=1e-3)
