@@ -8,7 +8,10 @@ run matmuls/convs in bfloat16 with fp32 accumulation (params always stay fp32).
 import jax.numpy as jnp
 
 _COMPUTE_DTYPE = jnp.float32
-_USE_PALLAS = True
+# Pallas fast paths default OFF: measured at parity with the XLA-native ops on
+# v5e (step-level), and the XLA path doubles as the correctness oracle. Flip on
+# per-run with set_use_pallas(True); bench.py reports both.
+_USE_PALLAS = False
 _MATMUL_PRECISION = None  # None = backend default (bf16 passes on TPU MXU)
 
 
