@@ -32,13 +32,33 @@ from multiprocessing.pool import ThreadPool
 import numpy as np
 
 
+def num_workers_hint(n):
+    return max(1, int(n))
+
+
 class ImageDataLoader:
     def __init__(self, base_folder, batch_size, preprocessor,
                  classes_from_dir_structure=True, num_workers=1,
                  class_balance=True, mixup_range_tuple=None,
-                 start_thread=True):
+                 start_thread=True, use_native_loader=False):
         self.keep_loading = True
         self.preprocessor = preprocessor
+        # Native C++ decode path (native/dorknet_loader.cpp): OpenMP-parallel
+        # JPEG/PNG decode+resize+crop, usable when the preprocessor carries no
+        # augmenter (host augmentation needs the cv2 path; on-device
+        # augmentation pairs with decode_batch_hwc instead).
+        self.use_native_loader = False
+        if use_native_loader:
+            from dorknet_tpu.native import native_loader_available
+
+            if (native_loader_available()
+                    and getattr(preprocessor, "image_augmenter", None) is None
+                    and getattr(preprocessor, "crop_mode", None) in (
+                        "center", "random", None)):
+                self.use_native_loader = True
+            else:
+                print("ImageDataLoader: native loader unavailable or "
+                      "incompatible preprocessor — falling back to cv2 path")
         self.mixup_range_tuple = mixup_range_tuple
         self.base_folder = base_folder
         self.num_workers = num_workers
@@ -133,6 +153,17 @@ class ImageDataLoader:
             yield X_batch_list, y_batch_list
 
     def _decode_batch(self, pool, X_batch_list):
+        if self.use_native_loader:
+            from dorknet_tpu.native import decode_batch
+
+            pp = self.preprocessor
+            crop = (pp.image_size[1], pp.image_size[0])
+            precrop = (pp.precrop_size[1], pp.precrop_size[0])
+            mode = pp.crop_mode if pp.crop_mode in ("center", "random") else "resize"
+            out, _ = decode_batch(X_batch_list, precrop, crop, mode,
+                                  num_workers_hint(self.num_workers),
+                                  seed=np.random.randint(0, 2 ** 31))
+            return out
         return np.stack(pool.map(self.preprocessor.load_image, X_batch_list), axis=0)
 
     def load_batch(self, class_balance):

@@ -1,0 +1,9 @@
+from dorknet_tpu.native.loader import (
+    native_loader_available,
+    decode_batch,
+    decode_batch_hwc,
+    build_native,
+)
+
+__all__ = ["native_loader_available", "decode_batch", "decode_batch_hwc",
+           "build_native"]

@@ -1,0 +1,281 @@
+// dorknet_tpu native data loader — C++/OpenMP host-side image pipeline.
+//
+// TPU-native runtime equivalent of the reference's native ground: where the
+// reference used Cython+OpenMP for its compute kernels (reference:
+// layers/im2col.pyx, built by setup.py:6-23) and Python ThreadPool + cv2 for
+// image decode (reference: data_loading/image_data_loader.py:97-98), the
+// compute here lives on the TPU (XLA/Pallas) and the host's job is to keep it
+// fed. This library does the host hot path natively: JPEG/PNG decode
+// (libjpeg/libpng), bilinear resize, crop, and HWC-BGR→CHW float32 -128
+// normalisation, batch-parallel over OpenMP threads, writing straight into a
+// caller-provided pinned buffer (no Python-object traffic per image).
+//
+// C ABI only — bound from Python with ctypes (no pybind11 dependency).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Image {
+  int h = 0, w = 0, c = 0;
+  std::vector<uint8_t> data;  // HWC, BGR order (cv2 convention the reference uses)
+};
+
+// ---------------------------------------------------------------- JPEG ----
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->h = cinfo.output_height;
+  out->w = cinfo.output_width;
+  out->c = 3;
+  out->data.resize(size_t(out->h) * out->w * 3);
+  std::vector<uint8_t> row(size_t(out->w) * cinfo.output_components);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rp = row.data();
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    uint8_t* dst = out->data.data() + size_t(cinfo.output_scanline - 1) * out->w * 3;
+    // RGB → BGR to match cv2.imread
+    for (int x = 0; x < out->w; ++x) {
+      dst[3 * x + 0] = row[3 * x + 2];
+      dst[3 * x + 1] = row[3 * x + 1];
+      dst[3 * x + 2] = row[3 * x + 0];
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ----------------------------------------------------------------- PNG ----
+struct PngReadState {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->len) png_error(png, "png: out of data");
+  std::memcpy(out, s->buf + s->pos, n);
+  s->pos += n;
+}
+
+bool decode_png(const uint8_t* buf, size_t len, Image* out) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadState state{buf, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+  png_set_expand(png);
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  out->h = png_get_image_height(png, info);
+  out->w = png_get_image_width(png, info);
+  out->c = 3;
+  out->data.resize(size_t(out->h) * out->w * 3);
+  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  for (int y = 0; y < out->h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    uint8_t* dst = out->data.data() + size_t(y) * out->w * 3;
+    for (int x = 0; x < out->w; ++x) {  // RGB → BGR
+      dst[3 * x + 0] = row[3 * x + 2];
+      dst[3 * x + 1] = row[3 * x + 1];
+      dst[3 * x + 2] = row[3 * x + 0];
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, Image* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long len = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (len <= 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> buf(len);
+  size_t got = std::fread(buf.data(), 1, len, f);
+  std::fclose(f);
+  if (got != size_t(len)) return false;
+  if (buf.size() >= 2 && buf[0] == 0xFF && buf[1] == 0xD8)
+    return decode_jpeg(buf.data(), buf.size(), out);
+  return decode_png(buf.data(), buf.size(), out);
+}
+
+// ------------------------------------------------------------- resize ----
+// Bilinear resize matching cv2.resize(INTER_LINEAR) geometry
+// (src = (dst + 0.5) * scale - 0.5).
+void resize_bilinear(const Image& src, int out_h, int out_w, Image* dst) {
+  dst->h = out_h;
+  dst->w = out_w;
+  dst->c = 3;
+  dst->data.resize(size_t(out_h) * out_w * 3);
+  const float sy = float(src.h) / out_h;
+  const float sx = float(src.w) / out_w;
+  // Precompute per-column source indices and weights once.
+  std::vector<int> x0s(out_w), x1s(out_w);
+  std::vector<float> wxs(out_w);
+  for (int x = 0; x < out_w; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = std::max(0, std::min(src.w - 1, int(std::floor(fx))));
+    x0s[x] = x0;
+    x1s[x] = std::min(src.w - 1, x0 + 1);
+    wxs[x] = std::max(0.0f, std::min(1.0f, fx - x0));
+  }
+  for (int y = 0; y < out_h; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = std::max(0, std::min(src.h - 1, int(std::floor(fy))));
+    int y1 = std::min(src.h - 1, y0 + 1);
+    float wy = std::max(0.0f, std::min(1.0f, fy - y0));
+    const uint8_t* row0 = &src.data[size_t(y0) * src.w * 3];
+    const uint8_t* row1 = &src.data[size_t(y1) * src.w * 3];
+    uint8_t* orow = &dst->data[size_t(y) * out_w * 3];
+    for (int x = 0; x < out_w; ++x) {
+      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
+      const float wx = wxs[x];
+      for (int ch = 0; ch < 3; ++ch) {
+        float top = row0[x0 + ch] + wx * (float(row0[x1 + ch]) - row0[x0 + ch]);
+        float bot = row1[x0 + ch] + wx * (float(row1[x1 + ch]) - row1[x0 + ch]);
+        float v = top + wy * (bot - top);
+        orow[3 * x + ch] = uint8_t(int(v + 0.5f));
+      }
+    }
+  }
+}
+
+thread_local std::mt19937 g_rng{std::random_device{}()};
+
+}  // namespace
+
+extern "C" {
+
+// Decode + resize-to-precrop + crop + CHW float32 -128 for a batch of images.
+// paths: n null-terminated strings. out: float32 buffer (n, 3, crop, crop),
+// C-contiguous. crop_mode: 0=center, 1=random, 2=plain-resize-to-crop.
+// Returns number of successfully decoded images (failures leave zeros).
+int dorknet_decode_batch(const char** paths, int n, int precrop_h, int precrop_w,
+                         int crop_h, int crop_w, int crop_mode, float* out,
+                         int num_threads, uint64_t seed) {
+  int ok_count = 0;
+#pragma omp parallel for num_threads(num_threads) reduction(+ : ok_count) \
+    schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    Image im;
+    if (!decode_file(paths[i], &im)) {
+      std::memset(out + size_t(i) * 3 * crop_h * crop_w, 0,
+                  sizeof(float) * 3 * crop_h * crop_w);
+      continue;
+    }
+    Image rs;
+    int row_off = 0, col_off = 0;
+    if (crop_mode == 2) {
+      resize_bilinear(im, crop_h, crop_w, &rs);
+    } else {
+      resize_bilinear(im, precrop_h, precrop_w, &rs);
+      if (crop_mode == 0) {  // center
+        row_off = (precrop_h - crop_h) / 2;
+        col_off = (precrop_w - crop_w) / 2;
+      } else {  // random
+        std::mt19937 rng(seed + uint64_t(i) * 0x9E3779B97F4A7C15ull);
+        row_off = int(rng() % uint32_t(std::max(1, precrop_h - crop_h)));
+        col_off = int(rng() % uint32_t(std::max(1, precrop_w - crop_w)));
+      }
+    }
+    // crop + HWC-BGR → CHW float32, -128 shift
+    float* dst = out + size_t(i) * 3 * crop_h * crop_w;
+    for (int ch = 0; ch < 3; ++ch) {
+      for (int y = 0; y < crop_h; ++y) {
+        const uint8_t* srow =
+            &rs.data[((size_t(y + row_off)) * rs.w + col_off) * 3];
+        float* drow = dst + (size_t(ch) * crop_h + y) * crop_w;
+        for (int x = 0; x < crop_w; ++x) {
+          drow[x] = float(srow[3 * x + ch]) - 128.0f;
+        }
+      }
+    }
+    ok_count += 1;
+  }
+  return ok_count;
+}
+
+// Same but emits HWC uint8 BGR at precrop size (for the on-device augmentation
+// path, which crops/augments on the TPU). out: uint8 (n, precrop_h, precrop_w, 3).
+int dorknet_decode_batch_hwc(const char** paths, int n, int precrop_h,
+                             int precrop_w, uint8_t* out, int num_threads) {
+  int ok_count = 0;
+#pragma omp parallel for num_threads(num_threads) reduction(+ : ok_count) \
+    schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    Image im;
+    uint8_t* dst = out + size_t(i) * precrop_h * precrop_w * 3;
+    if (!decode_file(paths[i], &im)) {
+      std::memset(dst, 0, size_t(precrop_h) * precrop_w * 3);
+      continue;
+    }
+    Image rs;
+    resize_bilinear(im, precrop_h, precrop_w, &rs);
+    std::memcpy(dst, rs.data.data(), rs.data.size());
+    ok_count += 1;
+  }
+  return ok_count;
+}
+
+int dorknet_loader_version() { return 1; }
+
+}  // extern "C"

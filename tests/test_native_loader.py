@@ -1,0 +1,83 @@
+"""Native C++ loader (native/dorknet_loader.cpp) vs the cv2 reference path."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from dorknet_tpu.native import native_loader_available, build_native
+
+if not native_loader_available():
+    try:
+        build_native()
+    except Exception:
+        pass
+
+pytestmark = pytest.mark.skipif(not native_loader_available(),
+                                reason="native loader not built")
+
+
+@pytest.fixture
+def img_paths(tmp_path):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(8):
+        im = rng.randint(0, 255, (120, 160, 3), dtype=np.uint8)
+        p = str(tmp_path / (f"{i}.jpg" if i % 2 == 0 else f"{i}.png"))
+        cv2.imwrite(p, im)
+        paths.append(p)
+    return paths
+
+
+def test_decode_batch_matches_cv2_preprocessor(img_paths):
+    from dorknet_tpu.native import decode_batch
+    from dorknet_tpu.data_loading import ImagePreprocessor
+
+    out, ok = decode_batch(img_paths, (100, 100), (80, 80), "center")
+    assert ok == 8
+    assert out.shape == (8, 3, 80, 80) and out.dtype == np.float32
+    pp = ImagePreprocessor((80, 80), crop_mode="center", precrop_size=(100, 100))
+    for i in [1, 3]:  # PNGs: lossless, decode must agree
+        ref = pp.load_image(img_paths[i])
+        assert np.abs(out[i] - ref).max() <= 1.0  # rounding convention only
+        assert np.abs(out[i] - ref).mean() < 0.2
+
+
+def test_decode_batch_hwc(img_paths):
+    from dorknet_tpu.native import decode_batch_hwc
+
+    out, ok = decode_batch_hwc(img_paths, (64, 64))
+    assert ok == 8
+    assert out.shape == (8, 64, 64, 3) and out.dtype == np.uint8
+
+
+def test_decode_failure_leaves_zeros(tmp_path, img_paths):
+    from dorknet_tpu.native import decode_batch
+
+    bad = str(tmp_path / "nope.jpg")
+    open(bad, "wb").write(b"not an image")
+    out, ok = decode_batch([img_paths[0], bad], (32, 32), (24, 24), "center")
+    assert ok == 1
+    assert (out[1] == 0).all()
+
+
+def test_image_data_loader_native_path(tmp_path, img_paths):
+    from dorknet_tpu.data_loading import ImageDataLoader, ImagePreprocessor
+
+    for c, grp in [("a", img_paths[:4]), ("b", img_paths[4:])]:
+        d = tmp_path / "ds" / c / "images"
+        d.mkdir(parents=True)
+        for p in grp:
+            os.link(p, d / os.path.basename(p))
+    pp = ImagePreprocessor((32, 32), crop_mode="random")
+    loader = ImageDataLoader(str(tmp_path / "ds"), batch_size=4,
+                             preprocessor=pp, use_native_loader=True)
+    try:
+        assert loader.use_native_loader
+        X, y, oh = next(iter(loader.pull_batch(1)))
+        assert X.shape == (4, 3, 32, 32)
+        assert X.dtype == np.float32
+        assert not (X == 0).all()
+    finally:
+        loader.stop_thread()
