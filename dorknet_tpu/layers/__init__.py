@@ -4,7 +4,7 @@ from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
 from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
 from dorknet_tpu.layers.dense_layer import DenseLayer
 from dorknet_tpu.layers.batch_norm import BatchNormLayer
-from dorknet_tpu.layers.activations import ReLu
+from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
 from dorknet_tpu.layers.pooling import GlobalAveragePoolingLayer, MaxPoolLayer
 from dorknet_tpu.layers.residual_block import ResidualBlock
 from dorknet_tpu.layers.reshape import ReshapeLayer
@@ -18,6 +18,8 @@ __all__ = [
     "DenseLayer",
     "BatchNormLayer",
     "ReLu",
+    "ReLu6",
+    "IdentityLayer",
     "GlobalAveragePoolingLayer",
     "MaxPoolLayer",
     "ResidualBlock",

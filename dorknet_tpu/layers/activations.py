@@ -29,3 +29,44 @@ class ReLu(Layer):
 
     def load_from_h5(self, open_f, load_grads=True):
         pass
+
+
+class ReLu6(Layer):
+    """min(max(x, 0), 6) — for the MobileNet-V2 stretch zoo (not in the
+    reference, which is plain-ReLU only)."""
+
+    def __init__(self, layer_name):
+        super().__init__(layer_name)
+
+    def __repr__(self):
+        return "ReLu6({})".format(self.layer_name)
+
+    def fapply(self, params, state, x, train):
+        return jnp.clip(x, 0.0, 6.0), state
+
+    def save_to_h5(self, open_f, save_grads=True):
+        h5io.create_layer_info(open_f, self.layer_name, "ReLu6")
+
+    def load_from_h5(self, open_f, load_grads=True):
+        pass
+
+
+class IdentityLayer(Layer):
+    """Pass-through — lets ResidualBlock model linear-join blocks (e.g.
+    MobileNet-V2 inverted residuals, which add WITHOUT a post-skip
+    nonlinearity; the reference always applies one, residual_block.py:74)."""
+
+    def __init__(self, layer_name):
+        super().__init__(layer_name)
+
+    def __repr__(self):
+        return "IdentityLayer({})".format(self.layer_name)
+
+    def fapply(self, params, state, x, train):
+        return x, state
+
+    def save_to_h5(self, open_f, save_grads=True):
+        h5io.create_layer_info(open_f, self.layer_name, "IdentityLayer")
+
+    def load_from_h5(self, open_f, load_grads=True):
+        pass

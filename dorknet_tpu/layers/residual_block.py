@@ -20,7 +20,7 @@ from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.layers.convolution import ConvLayer
 from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
 from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
-from dorknet_tpu.layers.activations import ReLu
+from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
 from dorknet_tpu.layers.batch_norm import BatchNormLayer
 from dorknet_tpu.utils import h5io
 
@@ -161,6 +161,8 @@ class ResidualBlock(Layer):
         layer_name_list = info["layer_name_list"]
         dispatch = {
             "ConvLayer": ConvLayer,
+            "ReLu6": ReLu6,
+            "IdentityLayer": IdentityLayer,
             "BatchNormLayer": BatchNormLayer,
             "ReLu": ReLu,
             "DepthwiseConvLayer": DepthwiseConvLayer,
@@ -181,8 +183,9 @@ class ResidualBlock(Layer):
                 print("ResidualBlock: Unrecognised skip_projection type {}".format(skip_type))
         act_type = info["post_skip_activation_type"]
         act_name = info["post_skip_activation_name"]
-        if act_type == "ReLu":
-            self.post_skip_activation = ReLu(act_name)
+        act_dispatch = {"ReLu": ReLu, "ReLu6": ReLu6, "IdentityLayer": IdentityLayer}
+        if act_type in act_dispatch:
+            self.post_skip_activation = act_dispatch[act_type](act_name)
             self.post_skip_activation.load_from_h5(open_f, load_grads=load_grads)
         else:
             print("ResidualBlock: Unrecognised post_skip_activation type {}".format(act_type))

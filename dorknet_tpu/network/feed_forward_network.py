@@ -25,7 +25,7 @@ from dorknet_tpu.layers.convolution import ConvLayer
 from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
 from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
 from dorknet_tpu.layers.residual_block import ResidualBlock
-from dorknet_tpu.layers.activations import ReLu
+from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
 from dorknet_tpu.layers.pooling import GlobalAveragePoolingLayer, MaxPoolLayer
 from dorknet_tpu.layers.reshape import ReshapeLayer
 from dorknet_tpu.layers.batch_norm import BatchNormLayer
@@ -35,6 +35,8 @@ _LAYER_DISPATCH = {
     "ConvLayer": ConvLayer,
     "BatchNormLayer": BatchNormLayer,
     "ReLu": ReLu,
+    "ReLu6": ReLu6,
+    "IdentityLayer": IdentityLayer,
     "DepthwiseConvLayer": DepthwiseConvLayer,
     "PointwiseConvLayer": PointwiseConvLayer,
     "GlobalAveragePoolingLayer": GlobalAveragePoolingLayer,

@@ -84,9 +84,92 @@ class Trainer:
         fn = self._get_step()
         new_params, new_states, self._cache, loss, preds = fn(
             params, states, self._cache, X, y_one_hot,
-            jnp.float32(self.optimiser.learning_rate))
+            self.optimiser.device_lr())
 
         for l, p in zip(network.layers, new_params):
             l.set_params(p)
         network.scatter_states(new_states)
         return loss, preds
+
+    # ------------------------------------------------------------------ #
+    # Multi-step: K train steps in ONE dispatch via lax.scan — amortises the
+    # per-dispatch host latency (the dominant cost at small batch sizes
+    # through the TPU host link).
+    # ------------------------------------------------------------------ #
+    def _get_multi_step(self):
+        key = ("multi",) + self._signature()
+        if key not in self._jit_cache:
+            network = self.network
+            optimiser = self.optimiser
+
+            def multi(params, states, cache, Xs, ys, lr):
+                def body(carry, batch):
+                    params, states, cache = carry
+                    X, y = batch
+
+                    def objective(p):
+                        x, new_states, reported_reg, full_reg, _ = network._run_layers(
+                            p, states, to_nhwc(X), train=True)
+                        data_loss, probs = network.loss_layer.fapply_loss(x, y)
+                        return data_loss + full_reg, (data_loss + reported_reg,
+                                                      probs, new_states)
+
+                    grads, (loss, probs, new_states) = jax.grad(
+                        objective, has_aux=True)(params)
+                    new_params, new_cache = optimiser.apply_update(
+                        params, grads, cache, lr)
+                    preds = jnp.argmax(probs, axis=1)
+                    return (new_params, new_states, new_cache), (loss, preds)
+
+                (params, states, cache), (losses, preds) = jax.lax.scan(
+                    body, (params, states, cache), (Xs, ys))
+                return params, states, cache, losses, preds
+
+            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 1, 2))
+        return self._jit_cache[key]
+
+    def multi_step(self, X_stack, y_stack):
+        """Run K fused train steps in one XLA dispatch. X_stack: (K, B, C, H, W),
+        y_stack: (K, B, num_classes). Returns (losses (K,), preds (K, B)).
+
+        Requires batch-norm running stats to be initialised (the first-batch
+        adoption is a different trace) — if they aren't, the first slice runs
+        as a regular step."""
+        network = self.network
+        if any(getattr(l, "bn_initialized", lambda: True)() is False
+               for l in network.layers):
+            first_loss, first_preds = self.step(X_stack[0], y_stack[0])
+            if X_stack.shape[0] == 1:
+                return jnp.stack([first_loss]), jnp.stack([first_preds])
+            rest_losses, rest_preds = self.multi_step(X_stack[1:], y_stack[1:])
+            return (jnp.concatenate([jnp.stack([first_loss]), rest_losses]),
+                    jnp.concatenate([jnp.stack([first_preds]), rest_preds]))
+
+        params = network.gather_params()
+        states = network.gather_states()
+        if self.param_sharding is not None:
+            params = jax.device_put(params, self.param_sharding)
+        if self._cache is None:
+            self._cache = self.optimiser.init_cache(params)
+        if self.batch_sharding is not None:
+            # stacked layout (K, B, ...): shard dim 1 (batch), replicate K
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = self.batch_sharding
+            stacked = NamedSharding(s.mesh, P(None, *s.spec))
+            Xs = jax.device_put(np.ascontiguousarray(X_stack, dtype=np.float32)
+                                if not isinstance(X_stack, jax.Array) else X_stack,
+                                stacked)
+            ys = jax.device_put(np.ascontiguousarray(y_stack, dtype=np.float32)
+                                if not isinstance(y_stack, jax.Array) else y_stack,
+                                stacked)
+        else:
+            Xs, ys = self._place_batch(X_stack, y_stack)
+
+        fn = self._get_multi_step()
+        new_params, new_states, self._cache, losses, preds = fn(
+            params, states, self._cache, Xs, ys, self.optimiser.device_lr())
+        for l, p in zip(network.layers, new_params):
+            l.set_params(p)
+        network.scatter_states(new_states)
+        return losses, preds

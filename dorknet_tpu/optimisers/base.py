@@ -31,9 +31,19 @@ class Optimiser:
 
     def set_learning_rate(self, new_lr):
         self.learning_rate = new_lr
+        self._device_lr = None
 
     def multiply_learning_rate(self, multiplier):
         self.learning_rate *= multiplier
+        self._device_lr = None
+
+    def device_lr(self):
+        """Device-resident lr scalar, cached until the schedule changes —
+        avoids one host→device transfer per step (measurably slow through the
+        TPU host link)."""
+        if getattr(self, "_device_lr", None) is None:
+            self._device_lr = jnp.float32(self.learning_rate)
+        return self._device_lr
 
     # -- pytree plumbing ---------------------------------------------------- #
     def gather_params(self):
@@ -64,5 +74,5 @@ class Optimiser:
         if self._update_jit is None:
             self._update_jit = jax.jit(self.apply_update, donate_argnums=(0, 2))
         new_params, self.grad_cache = self._update_jit(
-            params, grads, self.grad_cache, jnp.float32(self.learning_rate))
+            params, grads, self.grad_cache, self.device_lr())
         self.scatter_params(new_params)

@@ -1,0 +1,56 @@
+"""Model zoo: shapes, one train step, checkpoint round-trip for each family."""
+
+import numpy as np
+import pytest
+
+from dorknet_tpu.network import FeedForwardNetwork, Trainer
+from dorknet_tpu.optimisers import SGDMomentum
+from dorknet_tpu.models import MNISTNet, ResNet18, MobileNetV2, ResNet50
+
+
+def _one_step_and_roundtrip(net, X, n_classes, tmp_path):
+    y = np.eye(n_classes, dtype=np.float32)[np.random.randint(0, n_classes,
+                                                              X.shape[0])]
+    tr = Trainer(net, SGDMomentum(net, 0.01, 0.9))
+    loss, preds = tr.step(X, y)
+    assert np.isfinite(float(loss))
+    _, probs = net.forward(X, None, test_mode=True)
+    assert np.asarray(probs).shape == (X.shape[0], n_classes)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, rtol=1e-4)
+
+    h5f, jsf = str(tmp_path / "m.h5"), str(tmp_path / "m.json")
+    net.save_weights_to_h5(h5f)
+    net.save_layer_structure_to_json(jsf)
+    net2 = FeedForwardNetwork("")
+    net2.load_network_from_json_and_h5(jsf, h5f)
+    _, probs2 = net2.forward(X, None, test_mode=True)
+    np.testing.assert_allclose(np.asarray(probs2), np.asarray(probs),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mnist_net(tmp_path):
+    np.random.seed(0)
+    net = MNISTNet("m")
+    X = np.random.randn(4, 1, 28, 28).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 10, tmp_path)
+
+
+def test_resnet18_depsep_small_input(tmp_path):
+    np.random.seed(0)
+    net = ResNet18("r18", num_classes=7)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 7, tmp_path)
+
+
+def test_mobilenet_v2(tmp_path):
+    np.random.seed(0)
+    net = MobileNetV2("mnv2", num_classes=6, width_mult=0.25)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 6, tmp_path)
+
+
+def test_resnet50(tmp_path):
+    np.random.seed(0)
+    net = ResNet50("r50", num_classes=5)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 5, tmp_path)

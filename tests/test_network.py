@@ -165,3 +165,26 @@ def test_no_loss_layer_forward():
     loss, out = net.forward(X, None)
     assert loss == 0
     assert np.asarray(out).shape == (2, 4, 6, 6)
+
+
+def test_trainer_multi_step_matches_sequential():
+    X, y, one_hot = toy_batch(B=8)
+    Xs = np.stack([X + 0.01 * i for i in range(4)])
+    ys = np.stack([one_hot] * 4)
+
+    net_a = small_net(seed=11)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    seq_losses = [float(tr_a.step(Xs[i], ys[i])[0]) for i in range(4)]
+
+    net_b = small_net(seed=11)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9))
+    losses, preds = tr_b.multi_step(Xs, ys)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-4, atol=1e-6)
+    assert np.asarray(preds).shape == (4, 8)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
+        np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
+        rtol=1e-4, atol=1e-6)
