@@ -91,27 +91,38 @@ def bench_cam_p50(runs=20):
 
 
 def main():
+    import os
     import jax.numpy as jnp
 
+    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "480"))
     results = {}
     best = 0.0
-    for b in (64, 256):
-        try:
-            ips = bench_train(b)
-            results[f"train_ips_b{b}_fp32"] = round(ips, 1)
-            best = max(best, ips)
-        except Exception as e:
-            log(f"batch {b} failed: {e}")
+
+    def time_left():
+        return deadline - time.monotonic()
+
     try:
-        ips = bench_train(256, compute_dtype=jnp.bfloat16)
-        results["train_ips_b256_bf16"] = round(ips, 1)
+        ips = bench_train(256, steps=8, trials=2)
+        results["train_ips_b256_fp32"] = round(ips, 1)
         best = max(best, ips)
     except Exception as e:
-        log(f"bf16 failed: {e}")
-    try:
-        results["cam_p50_ms"] = round(bench_cam_p50(), 2)
-    except Exception as e:
-        log(f"CAM bench failed: {e}")
+        log(f"b256 fp32 failed: {e}")
+    if time_left() > 150:
+        try:
+            ips = bench_train(256, steps=8, trials=2, compute_dtype=jnp.bfloat16)
+            results["train_ips_b256_bf16"] = round(ips, 1)
+            best = max(best, ips)
+        except Exception as e:
+            log(f"bf16 failed: {e}")
+    else:
+        log("skipping bf16 config (time budget)")
+    if time_left() > 90:
+        try:
+            results["cam_p50_ms"] = round(bench_cam_p50(runs=10), 2)
+        except Exception as e:
+            log(f"CAM bench failed: {e}")
+    else:
+        log("skipping CAM config (time budget)")
 
     log("all results:", results)
     print(json.dumps({

@@ -29,6 +29,18 @@ def _cast_in(x):
     return x.astype(dt) if x.dtype != dt else x
 
 
+def _pet():
+    """preferred_element_type: fp32 accumulation for the fp32 path. For bf16
+    compute we let the op emit bf16 (the MXU still accumulates fp32 internally)
+    and cast back — forcing an fp32 output would make the conv VJP mix a
+    fp32 cotangent with bf16 operands, which lax rejects."""
+    return jnp.float32 if get_compute_dtype() == jnp.float32 else None
+
+
+def _cast_out(y):
+    return y.astype(jnp.float32) if y.dtype != jnp.float32 else y
+
+
 def conv2d(x, w_oihw, b=None, stride=1, padding=0):
     """Standard conv. x: (N,H,W,C); w_oihw: (O,I,fh,fw) (reference layout).
 
@@ -41,9 +53,10 @@ def conv2d(x, w_oihw, b=None, stride=1, padding=0):
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(),
         precision=get_matmul_precision(),
     )
+    y = _cast_out(y)
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
     return y
@@ -78,9 +91,10 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_pet(),
         precision=get_matmul_precision(),
     )
+    y = _cast_out(y)
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
     return y
@@ -96,8 +110,9 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
     """
     if stride > 1:
         x = x[:, ::stride, ::stride, :]
-    y = jnp.dot(_cast_in(x), _cast_in(w_oc.T), preferred_element_type=jnp.float32,
-                precision=get_matmul_precision())
+    y = _cast_out(jnp.dot(_cast_in(x), _cast_in(w_oc.T),
+                          preferred_element_type=_pet(),
+                          precision=get_matmul_precision()))
     if b is not None:
         y = y + b.reshape(1, 1, 1, -1)
     return y
@@ -105,8 +120,9 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
 
 def dense(x, w_io, b=None):
     """Dense: (N,in) @ (in,out) + b (reference: layers/dense_layer.py:47-55)."""
-    y = jnp.dot(_cast_in(x), _cast_in(w_io), preferred_element_type=jnp.float32,
-                precision=get_matmul_precision())
+    y = _cast_out(jnp.dot(_cast_in(x), _cast_in(w_io),
+                          preferred_element_type=_pet(),
+                          precision=get_matmul_precision()))
     if b is not None:
         y = y + b.reshape(1, -1)
     return y

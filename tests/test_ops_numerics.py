@@ -130,3 +130,27 @@ def test_loss_soft_labels_mixup():
     ref_loss, _, _ = oracles.softmax_xent_oracle(logits, y)
     got_loss = float(softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(y)))
     np.testing.assert_allclose(got_loss, ref_loss, rtol=1e-5)
+
+
+def test_bf16_compute_path_trains():
+    """bfloat16 compute dtype: convs emit bf16 (cast back to fp32), gradients
+    flow (the VJP dtype-mismatch regression), numerics near the fp32 path."""
+    import jax
+    import dorknet_tpu
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    X, y, one_hot = toy_batch(B=8)
+    try:
+        dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+        net = small_net(seed=21)
+        tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+        l0, _ = tr.step(X, one_hot)
+        l1 = l0
+        for _ in range(10):
+            l1, _ = tr.step(X, one_hot)
+        assert np.isfinite(float(l1))
+        assert float(l1) < float(l0)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
