@@ -67,6 +67,34 @@ def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
     return ips
 
 
+def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
+    """K fused steps per dispatch (Trainer.multi_step) — amortises host
+    dispatch latency; the realistic fast path when batches are prefetched."""
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    np.random.seed(0)
+    net = ResNet18("bench-ms", num_classes=classes)
+    opt = SGDMomentum(net, 0.05 * (batch_size / 200.0), 0.9)
+    trainer = Trainer(net, opt)
+    Xs = jax.device_put(np.random.randn(k, batch_size, 3, image, image)
+                        .astype(np.float32))
+    ys = jax.device_put(np.eye(classes, dtype=np.float32)[
+        np.random.randint(0, classes, (k, batch_size))])
+    losses, _ = trainer.multi_step(Xs, ys)
+    float(losses[-1])  # compile + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        losses, _ = trainer.multi_step(Xs, ys)
+        float(losses[-1])
+        best = min(best, (time.perf_counter() - t0) / k)
+    ips = batch_size / best
+    log(f"multi_step b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
+    return ips
+
+
 def bench_cam_p50(runs=20):
     """CAM inference latency: scores + res8 tap + projection for top-3 classes,
     single image, one jitted call (reference CAM flow, SURVEY §3.3)."""
@@ -107,6 +135,15 @@ def main():
         best = max(best, ips)
     except Exception as e:
         log(f"b256 fp32 failed: {e}")
+    if time_left() > 180:
+        try:
+            ips = bench_train_multistep(256, k=4)
+            results["train_ips_b256_multistep"] = round(ips, 1)
+            best = max(best, ips)
+        except Exception as e:
+            log(f"multi_step failed: {e}")
+    else:
+        log("skipping multi_step config (time budget)")
     if time_left() > 150:
         try:
             ips = bench_train(256, steps=8, trials=2, compute_dtype=jnp.bfloat16)

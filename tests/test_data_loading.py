@@ -157,3 +157,59 @@ def test_device_train_pipeline_shapes_and_mixup():
     np.testing.assert_allclose(np.asarray(y).sum(1), 1.0, rtol=1e-5)
     # values are in the shifted range
     assert float(jnp.min(X)) >= -128.0 and float(jnp.max(X)) <= 127.0 + 1e-3
+
+
+def test_shuffle_stress_no_deadlock(image_dir):
+    """The reference's pause/restart protocol is untested hand-rolled thread
+    coordination (SURVEY §5) — stress ours: repeated shuffles interleaved with
+    pulls must neither deadlock nor produce malformed batches."""
+    pp = ImagePreprocessor(image_size=(32, 32), crop_mode="center")
+    loader = ImageDataLoader(image_dir, batch_size=4, preprocessor=pp,
+                             class_balance=False, num_workers=2)
+    try:
+        for _ in range(5):
+            X, y, oh = next(iter(loader.pull_batch(1)))
+            assert X.shape == (4, 3, 32, 32)
+            loader.shuffle_indices()
+        X, y, oh = next(iter(loader.pull_batch(1)))
+        assert np.isfinite(X).all()
+    finally:
+        loader.stop_thread()
+
+
+def test_full_pipeline_loader_prefetch_trainer(image_dir):
+    """End-to-end host pipeline: directory loader -> device_prefetch ->
+    fused Trainer step (the flagship example's data path)."""
+    from dorknet_tpu.data_loading import device_prefetch
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.layers import (ConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    pp = ImagePreprocessor(image_size=(32, 32), crop_mode="random")
+    loader = ImageDataLoader(image_dir, batch_size=4, preprocessor=pp,
+                             class_balance=True, mixup_range_tuple=(0.0, 0.3))
+    try:
+        np.random.seed(0)
+        net = FeedForwardNetwork("pipe")
+        net.add_layer(ConvLayer("c", filter_block_shape=(8, 3, 3, 3),
+                                with_bias=False))
+        net.add_layer(BatchNormLayer("b", incoming_chans=8))
+        net.add_layer(ReLu("r"))
+        net.add_layer(GlobalAveragePoolingLayer("g"))
+        net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=3))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+        tr = Trainer(net, SGDMomentum(net, 0.01, 0.9))
+        for X, y, one_hot in device_prefetch(loader.pull_batch(4), size=2):
+            loss, preds = tr.step(np.asarray(X), np.asarray(one_hot))
+            assert np.isfinite(float(loss))
+    finally:
+        loader.stop_thread()
+
+
+def test_make_class_name_map(image_dir, tmp_path):
+    from scripts.make_class_name_map import build_map
+
+    m = build_map(image_dir)
+    assert m == {"0": "akita", "1": "beagle", "2": "corgi"}

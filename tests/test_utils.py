@@ -1,0 +1,51 @@
+"""Experiment lifecycle + profiling utilities."""
+
+import numpy as np
+
+from dorknet_tpu.utils.experiment import Experiment, find_latest_checkpoint
+from dorknet_tpu.utils.profiling import StepTimer, RunningAverage
+
+
+def test_running_average_matches_reference_bookkeeping():
+    # reference: first loss initialises, then 0.9*avg + 0.1*loss
+    # (examples/imagenet_dogs_225_resnet_18_depsep.py:222-227)
+    ema = RunningAverage(momentum=0.9)
+    assert ema.update(2.0) == 2.0
+    np.testing.assert_allclose(ema.update(1.0), 0.9 * 2.0 + 0.1 * 1.0)
+
+
+def test_experiment_resume_cycle(tmp_path):
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    exp = Experiment("exp1", network_factory=lambda: small_net(seed=3),
+                     base_dir=str(tmp_path))
+    net, start = exp.resume_or_init()
+    assert start == 1
+
+    X, y, one_hot = toy_batch(B=8)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    tr.step(X, one_hot)
+    exp.save_epoch(net, 1, 0.5)
+    tr.step(X, one_hot)
+    p2 = exp.save_epoch(net, 2, 0.75)
+
+    path, epoch, acc = find_latest_checkpoint(exp.dir)
+    assert (path, epoch, acc) == (p2, 2, 0.75)
+
+    # fresh process-equivalent: resume picks epoch 3 with epoch-2 weights
+    exp2 = Experiment("exp1", network_factory=lambda: small_net(seed=99),
+                      base_dir=str(tmp_path))
+    net2, start2 = exp2.resume_or_init()
+    assert start2 == 3
+    np.testing.assert_array_equal(
+        np.asarray(net.layers[0].learned_params["weights"]),
+        np.asarray(net2.layers[0].learned_params["weights"]))
+
+
+def test_step_timer_counts():
+    t = StepTimer()
+    t.mark(32)
+    t.mark(32)
+    assert t.rate() > 0
