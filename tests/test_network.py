@@ -188,3 +188,18 @@ def test_trainer_multi_step_matches_sequential():
         np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
         np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
         rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_remat_matches_plain():
+    X, y, one_hot = toy_batch(B=8)
+    net_a = small_net(seed=17)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    net_b = small_net(seed=17)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9), remat=True)
+    for _ in range(4):
+        la, _ = tr_a.step(X, one_hot)
+        lb, _ = tr_b.step(X, one_hot)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-5, atol=1e-6)

@@ -76,3 +76,41 @@ def test_learning_rate_setters():
     assert opt.learning_rate == 0.05
     opt.multiply_learning_rate(0.5)
     assert abs(opt.learning_rate - 0.025) < 1e-12
+
+
+def test_optax_adapter_adamw_in_fused_trainer():
+    import optax
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import OptaxOptimiser
+    from tests.test_network import small_net, toy_batch
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=13)
+    tx = optax.inject_hyperparams(lambda lr: optax.adamw(lr))(lr=1e-2)
+    opt = OptaxOptimiser(net, tx, learning_rate=1e-2)
+    tr = Trainer(net, opt)
+    l0, _ = tr.step(X, one_hot)
+    for _ in range(15):
+        l1, _ = tr.step(X, one_hot)
+    assert float(l1) < float(l0)
+    # schedule change threads through without retrace errors
+    opt.multiply_learning_rate(0.1)
+    l2_, _ = tr.step(X, one_hot)
+    assert np.isfinite(float(l2_))
+
+
+def test_optax_adapter_compat_path():
+    import optax
+    from dorknet_tpu.optimisers import OptaxOptimiser
+    from tests.test_network import small_net, toy_batch
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=14)
+    opt = OptaxOptimiser(net, optax.sgd(0.05), learning_rate=0.05)
+    l0 = None
+    for _ in range(10):
+        loss, _ = net.forward(X, one_hot)
+        net.backward()
+        opt.update_weights()
+        l0 = float(loss) if l0 is None else l0
+    assert float(loss) < l0
