@@ -40,9 +40,19 @@ class ImageDataLoader:
     def __init__(self, base_folder, batch_size, preprocessor,
                  classes_from_dir_structure=True, num_workers=1,
                  class_balance=True, mixup_range_tuple=None,
-                 start_thread=True, use_native_loader=False):
+                 start_thread=True, use_native_loader=False,
+                 emit_hwc_uint8=False):
+        """emit_hwc_uint8=True is the on-device-augmentation mode: the host
+        only decodes + resizes to the preprocessor's precrop size and emits
+        (B, precrop_h, precrop_w, 3) uint8 BGR batches; crop / flip / HSV /
+        rotation / mixup then run as ONE jitted program on the accelerator
+        (data_loading/device_augment.py:train_pipeline). mixup_range_tuple is
+        ignored in this mode (mixup moves on device too)."""
         self.keep_loading = True
         self.preprocessor = preprocessor
+        self.emit_hwc_uint8 = emit_hwc_uint8
+        if emit_hwc_uint8:
+            mixup_range_tuple = None
         # Native C++ decode path (native/dorknet_loader.cpp): OpenMP-parallel
         # JPEG/PNG decode+resize+crop, usable when the preprocessor carries no
         # augmenter (host augmentation needs the cv2 path; on-device
@@ -153,6 +163,21 @@ class ImageDataLoader:
             yield X_batch_list, y_batch_list
 
     def _decode_batch(self, pool, X_batch_list):
+        if self.emit_hwc_uint8:
+            pp = self.preprocessor
+            precrop = (pp.precrop_size[1], pp.precrop_size[0])
+            if self.use_native_loader:
+                from dorknet_tpu.native import decode_batch_hwc
+
+                out, _ = decode_batch_hwc(X_batch_list, precrop,
+                                          num_workers_hint(self.num_workers))
+                return out
+            import cv2
+
+            def load(p):
+                return cv2.resize(cv2.imread(p), pp.precrop_size)
+
+            return np.stack(pool.map(load, X_batch_list), axis=0)
         if self.use_native_loader:
             from dorknet_tpu.native import decode_batch
 

@@ -34,17 +34,30 @@ data_folder = "/Datasets" if DOCKER else os.environ.get(
     "DORKNET_DATA", os.path.expanduser("~/Datasets"))
 ON_DEVICE_AUGMENT = False
 
+AUG_CFG = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+               rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5)
+
 if __name__ == "__main__":
-    augmenter = ImageAugmenter(hsv_pert_tuples=[(0.9, 1.1), (0.5, 2.0), (0.5, 2.0)],
-                               rotation_tuple=(-15, 15),
-                               horizontal_flip_prob=0.5)
-    train_preprocessor = ImagePreprocessor(image_size=(225, 225),
-                                           crop_mode="random",
-                                           image_augmenter=augmenter)
-    train_data_loader = ImageDataLoader(
-        os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
-        BATCH_SIZE, train_preprocessor, class_balance=False,
-        mixup_range_tuple=(0, 0.3), num_workers=8)
+    if ON_DEVICE_AUGMENT:
+        # host: decode + precrop-resize only; crop/HSV/rot/flip/mixup run as
+        # one jitted program on the TPU (device_augment.train_pipeline)
+        train_preprocessor = ImagePreprocessor(image_size=(225, 225),
+                                               crop_mode="random")
+        train_data_loader = ImageDataLoader(
+            os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
+            BATCH_SIZE, train_preprocessor, class_balance=False,
+            num_workers=8, emit_hwc_uint8=True)
+    else:
+        augmenter = ImageAugmenter(rotation_tuple=AUG_CFG["rotation_tuple"],
+                                   hsv_pert_tuples=list(AUG_CFG["hsv_pert_tuples"]),
+                                   horizontal_flip_prob=AUG_CFG["horizontal_flip_prob"])
+        train_preprocessor = ImagePreprocessor(image_size=(225, 225),
+                                               crop_mode="random",
+                                               image_augmenter=augmenter)
+        train_data_loader = ImageDataLoader(
+            os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
+            BATCH_SIZE, train_preprocessor, class_balance=False,
+            mixup_range_tuple=(0, 0.3), num_workers=8)
     val_preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
     val_data_loader = ImageDataLoader(
         os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/val_img"),
@@ -88,15 +101,26 @@ if __name__ == "__main__":
                 sgd.multiply_learning_rate(0.5)
             steps = int(150473 / BATCH_SIZE)
             batches = device_prefetch(train_data_loader.pull_batch(steps))
+            aug_key = jax.random.PRNGKey(e)
             for i, (X_batch, y_batch, y_one_hot) in enumerate(
                     tqdm(batches, total=steps)):
+                if ON_DEVICE_AUGMENT:
+                    from dorknet_tpu.data_loading.device_augment import train_pipeline
+
+                    aug_key, k = jax.random.split(aug_key)
+                    X_batch, y_one_hot = train_pipeline(
+                        k, X_batch.astype("float32"), y_one_hot, (225, 225),
+                        crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
                 loss, preds = trainer.step(X_batch, y_one_hot)
                 loss = float(loss)
                 if running_loss_average is None:
                     running_loss_average = loss
                 else:
                     running_loss_average = 0.9 * running_loss_average + 0.1 * loss
-                correct_total += int(np.sum(np.asarray(y_batch) == np.asarray(preds)))
+                # device mixup doubles the batch; the first half is dominated
+                # by the original labels (lam <= 0.3)
+                preds_np = np.asarray(preds)[:len(y_batch)]
+                correct_total += int(np.sum(np.asarray(y_batch) == preds_np))
                 if i % 10 == 0:
                     logging.info("Running loss average: {}".format(running_loss_average))
                 if (i % 100 == 0) and (i > 0):

@@ -213,3 +213,44 @@ def test_make_class_name_map(image_dir, tmp_path):
 
     m = build_map(image_dir)
     assert m == {"0": "akita", "1": "beagle", "2": "corgi"}
+
+
+def test_on_device_augment_full_path(image_dir):
+    """emit_hwc_uint8 loader -> device train_pipeline -> fused Trainer step:
+    the flagship example's ON_DEVICE_AUGMENT mode end-to-end."""
+    import jax
+    from dorknet_tpu.data_loading.device_augment import train_pipeline
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.layers import (ConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    pp = ImagePreprocessor(image_size=(24, 24), crop_mode="random")
+    loader = ImageDataLoader(image_dir, batch_size=4, preprocessor=pp,
+                             class_balance=True, emit_hwc_uint8=True)
+    try:
+        np.random.seed(0)
+        net = FeedForwardNetwork("oda")
+        net.add_layer(ConvLayer("c", filter_block_shape=(8, 3, 3, 3), with_bias=False))
+        net.add_layer(BatchNormLayer("b", incoming_chans=8))
+        net.add_layer(ReLu("r"))
+        net.add_layer(GlobalAveragePoolingLayer("g"))
+        net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=3))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+        tr = Trainer(net, SGDMomentum(net, 0.01, 0.9))
+        key = jax.random.PRNGKey(0)
+        for X_u8, y, one_hot in loader.pull_batch(3):
+            assert X_u8.dtype == np.uint8
+            assert X_u8.shape == (4, 30, 30, 3)  # precrop = 1.25 * 24
+            key, k = jax.random.split(key)
+            Xd, yd = train_pipeline(
+                k, jnp.asarray(X_u8, jnp.float32), jnp.asarray(one_hot), (24, 24),
+                hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+                crop_mode="random", mixup=(0.0, 0.3))
+            assert Xd.shape == (8, 3, 24, 24)  # mixup doubled
+            loss, preds = tr.step(Xd, yd)
+            assert np.isfinite(float(loss))
+    finally:
+        loader.stop_thread()
