@@ -110,6 +110,64 @@ class Trainer:
         return loss, preds
 
     # ------------------------------------------------------------------ #
+    # Gradient accumulation: one optimiser update from K micro-batches whose
+    # grads are averaged in a lax.scan — emulates batch K*B within the HBM
+    # footprint of batch B (pairs well with remat=True).
+    # NB: batch-norm statistics are per-MICRO-batch (each micro-batch runs its
+    # own BN forward, matching what sequential small-batch steps would see),
+    # not per-effective-batch.
+    # ------------------------------------------------------------------ #
+    def _get_accum_step(self):
+        key = ("accum",) + self._signature()
+        if key not in self._jit_cache:
+            trainer = self
+            optimiser = self.optimiser
+
+            def accum(params, states, cache, Xs, ys, lr):
+                K = Xs.shape[0]
+
+                def body(carry, batch):
+                    g_acc, states, loss_acc = carry
+                    X, y = batch
+                    grads, (loss, probs, new_states) = jax.grad(
+                        lambda p: trainer._forward_loss(p, states, X, y),
+                        has_aux=True)(params)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, new_states, loss_acc + loss), None
+
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, new_states, loss_sum), _ = jax.lax.scan(
+                    body, (zero_g, states, 0.0), (Xs, ys))
+                g_mean = jax.tree_util.tree_map(lambda g: g / K, g_sum)
+                new_params, new_cache = optimiser.apply_update(
+                    params, g_mean, cache, lr)
+                return new_params, new_states, new_cache, loss_sum / K
+
+            self._jit_cache[key] = jax.jit(accum, donate_argnums=(0, 1, 2))
+        return self._jit_cache[key]
+
+    def accumulate_step(self, X_stack, y_stack):
+        """One optimiser update from the averaged gradients of K micro-batches
+        (X_stack: (K, B, C, H, W)). Returns the mean reported loss."""
+        network = self.network
+        if any(getattr(l, "bn_initialized", lambda: True)() is False
+               for l in network.layers):
+            # initialise BN running stats with one regular step first
+            self.step(X_stack[0], y_stack[0])
+        params = network.gather_params()
+        states = network.gather_states()
+        if self._cache is None:
+            self._cache = self.optimiser.init_cache(params)
+        Xs, ys = self._place_batch(X_stack, y_stack)
+        fn = self._get_accum_step()
+        new_params, new_states, self._cache, loss = fn(
+            params, states, self._cache, Xs, ys, self.optimiser.device_lr())
+        for l, p in zip(network.layers, new_params):
+            l.set_params(p)
+        network.scatter_states(new_states)
+        return loss
+
+    # ------------------------------------------------------------------ #
     # Multi-step: K train steps in ONE dispatch via lax.scan — amortises the
     # per-dispatch host latency (the dominant cost at small batch sizes
     # through the TPU host link).

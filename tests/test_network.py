@@ -203,3 +203,26 @@ def test_trainer_remat_matches_plain():
     np.testing.assert_allclose(
         np.asarray(net_a.layers[0].learned_params["weights"]),
         np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_accumulate_step_matches_big_batch():
+    """avg-grad over K micro-batches == one step on the concatenated batch
+    (modulo BN batch stats; use a net whose BN sees identical micro-batches)."""
+    X, y, one_hot = toy_batch(B=8)
+    Xs = np.stack([X, X])          # identical micro-batches -> identical BN stats
+    ys = np.stack([one_hot, one_hot])
+
+    net_a = small_net(seed=23)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    tr_a.step(X, one_hot)  # BN init parity
+    la, _ = tr_a.step(X, one_hot)
+
+    net_b = small_net(seed=23)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9))
+    tr_b.step(X, one_hot)
+    lb = tr_b.accumulate_step(Xs, ys)
+
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-5, atol=1e-6)

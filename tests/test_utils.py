@@ -49,3 +49,32 @@ def test_step_timer_counts():
     t.mark(32)
     t.mark(32)
     assert t.rate() > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.utils.orbax_io import save_checkpoint, load_checkpoint
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=31)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    for _ in range(3):
+        tr.step(X, one_hot)
+    _, probs = net.forward(X, None, test_mode=True)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, net, tr)
+
+    net2 = small_net(seed=99)  # different init, same structure
+    tr2 = Trainer(net2, SGDMomentum(net2, 0.05, 0.9))
+    tr2.step(X, one_hot)       # materialise cache/BN for the restore target
+    load_checkpoint(path, net2, tr2)
+    _, probs2 = net2.forward(X, None, test_mode=True)
+    np.testing.assert_allclose(np.asarray(probs2), np.asarray(probs),
+                               rtol=1e-5, atol=1e-6)
+    # training continues identically (optimiser momentum restored)
+    la, _ = tr.step(X, one_hot)
+    lb, _ = tr2.step(X, one_hot)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
