@@ -145,3 +145,25 @@ def test_cam_pipeline_on_trained_tiny_net(tmp_path):
     best = np.argsort(np.asarray(scores))[::-1][:3]
     cam_host = returnCAM(np.asarray(feats), w, best, size_upsample=(32, 32))
     np.testing.assert_allclose(np.stack(cam_host), c, rtol=1e-3, atol=1e-3)
+
+
+def test_graft_entry_compiles_on_cpu():
+    """entry() must stay jittable (the driver compile-checks it single-chip)."""
+    import jax
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn).lower(*args).compile()
+    assert out is not None
+
+
+def test_synthetic_cam_demo(tmp_path):
+    from examples.synthetic_cam_demo import main
+
+    correct = main(out_dir=str(tmp_path), steps=40, seed=0)
+    assert correct >= 3  # blob-position task is easy; CAM pipeline end-to-end
+    files = list(tmp_path.iterdir())
+    assert len(files) == 4
+    import cv2
+    im = cv2.imread(str(files[0]))
+    assert im is not None and im.shape == (64, 64, 3)
