@@ -93,8 +93,10 @@ class Trainer:
         network = self.network
         params = network.gather_params()
         states = network.gather_states()
-        if self.param_sharding is not None:
+        if self.param_sharding is not None and not getattr(self, "_params_placed", False):
+            # place once — step outputs keep their shardings thereafter
             params = jax.device_put(params, self.param_sharding)
+            self._params_placed = True
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
         X, y_one_hot = self._place_batch(X, y_one_hot)
@@ -152,8 +154,11 @@ class Trainer:
         network = self.network
         if any(getattr(l, "bn_initialized", lambda: True)() is False
                for l in network.layers):
-            # initialise BN running stats with one regular step first
-            self.step(X_stack[0], y_stack[0])
+            # initialise BN running stats WITHOUT an optimiser update (a plain
+            # training-mode forward writes them), so micro-batch 0 is not
+            # double-counted
+            network.forward(X_stack[0], y_stack[0])
+            network._pending_grads = None
         params = network.gather_params()
         states = network.gather_states()
         if self._cache is None:
