@@ -23,6 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _tree_norm(tree):
+    """Zero-valued scalar that depends on every leaf — keeps jax.grad happy
+    when a reg-free layer's reg_loss_full is the constant 0."""
+    return sum(jnp.sum(l) * 0.0 for l in jax.tree_util.tree_leaves(tree))
+
+
 def to_nhwc(x):
     return jnp.transpose(x, (0, 2, 3, 1)) if x.ndim == 4 else x
 
@@ -150,11 +156,15 @@ class Layer:
 
             _, vjp = jax.vjp(f, params, x)
             dparams, dx = vjp(dy)
-            if self.weight_regulariser is not None and params:
-                dparams = dict(dparams)
-                dparams["weights"] = dparams["weights"] + self.weight_regulariser.backward(
-                    params["weights"]
-                )
+            # Add every regularisation gradient this layer owns — including
+            # nested children's (the reference adds them inside each child's
+            # backward, e.g. layers/convolution.py:99-100 and the skip
+            # projection inside ResidualBlock.backward). Autodiff of
+            # reg_loss_full gives the matching zero trees for reg-free params.
+            if jax.tree_util.tree_leaves(params):
+                reg_grads = jax.grad(
+                    lambda p: self.reg_loss_full(p) + 0.0 * _tree_norm(p))(params)
+                dparams = jax.tree_util.tree_map(jnp.add, dparams, reg_grads)
             return dparams, dx
 
         fn = self._jit_for(("bwd",), run)

@@ -161,3 +161,25 @@ def test_residual_block_projection_skip_and_reg_accounting():
         np.asarray(block.skip_projection.learned_params["weights"]))))
     np.testing.assert_allclose(full - reported, skip_term, rtol=1e-5)
     np.testing.assert_allclose(reported, float(block.regulariser_forward()), rtol=1e-6)
+
+
+def test_residual_block_backward_adds_nested_reg_grads():
+    """Standalone block.backward must include the children's AND the skip
+    projection's l2 gradients (the reference adds them inside each child's
+    backward)."""
+    block = _make_res_block(downsample=True)
+    x = np.random.randn(2, 4, 6, 6).astype(np.float32)
+    block.forward(x)
+    # zero upstream gradient isolates the reg terms exactly (no fp32
+    # cancellation against the data gradient)
+    dy = np.zeros((2, 4, 3, 3), dtype=np.float32)
+    block.backward(dy)
+    w_pw = np.asarray(block.layer_list[2].learned_params["weights"])
+    w_skip = np.asarray(block.skip_projection.learned_params["weights"])
+    np.testing.assert_allclose(np.asarray(block.layer_list[2].grads["weights"]),
+                               0.01 * w_pw, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(block.skip_projection.grads["weights"]),
+                               0.01 * w_skip, rtol=1e-5, atol=1e-8)
+    # reg-free children get pure data gradients (zero here)
+    np.testing.assert_allclose(np.asarray(block.layer_list[0].grads["weights"]),
+                               0.0, atol=1e-8)
