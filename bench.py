@@ -95,6 +95,47 @@ def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
     return ips
 
 
+def bench_aug_pipeline(n_images=256, image=225):
+    """Host augmentation pipeline images/sec (BASELINE metric): decode-free
+    measurement of the preprocess+augment stack on in-memory images — the cv2
+    host path vs the on-device jitted path."""
+    import cv2
+    import jax.numpy as jnp
+    from dorknet_tpu.data_loading import ImagePreprocessor, ImageAugmenter
+    from dorknet_tpu.data_loading.device_augment import train_pipeline
+
+    rng = np.random.RandomState(0)
+    precrop = int(image * 1.25)
+    imgs = rng.randint(0, 255, (n_images, precrop, precrop, 3), dtype=np.uint8)
+
+    aug = ImageAugmenter(hsv_pert_tuples=[(0.9, 1.1), (0.5, 2.0), (0.5, 2.0)],
+                         rotation_tuple=(-15, 15), horizontal_flip_prob=0.5)
+    pp = ImagePreprocessor((image, image), crop_mode="random",
+                           precrop_size=(precrop, precrop), image_augmenter=aug)
+    t0 = time.perf_counter()
+    for im in imgs[:64]:
+        pp.preprocess_image(im)
+    host_ips = 64 / (time.perf_counter() - t0)
+    log(f"aug host(cv2, 1 thread): {host_ips:.0f} img/s")
+
+    oh = np.eye(120, dtype=np.float32)[rng.randint(0, 120, n_images)]
+    key = jax.random.PRNGKey(0)
+    args = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+                crop_mode="random", mixup=(0.0, 0.3))
+    Xd = jax.device_put(imgs.astype(np.float32))
+    ohd = jax.device_put(oh)
+    out = train_pipeline(key, Xd, ohd, (image, image), **args)
+    np.asarray(out[0][0, 0, 0, 0])  # compile+sync
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = train_pipeline(jax.random.PRNGKey(i), Xd, ohd, (image, image), **args)
+    np.asarray(out[0][0, 0, 0, 0])
+    dev_ips = 3 * n_images / (time.perf_counter() - t0)
+    log(f"aug on-device(jitted): {dev_ips:.0f} img/s")
+    return host_ips, dev_ips
+
+
 def bench_cam_p50(runs=20):
     """CAM inference latency: scores + res8 tap + projection for top-3 classes,
     single image, one jitted call (reference CAM flow, SURVEY §3.3)."""
@@ -160,6 +201,15 @@ def main():
             log(f"CAM bench failed: {e}")
     else:
         log("skipping CAM config (time budget)")
+    if time_left() > 120:
+        try:
+            host_ips, dev_ips = bench_aug_pipeline()
+            results["aug_host_ips"] = round(host_ips, 1)
+            results["aug_device_ips"] = round(dev_ips, 1)
+        except Exception as e:
+            log(f"aug bench failed: {e}")
+    else:
+        log("skipping aug config (time budget)")
 
     log("all results:", results)
     print(json.dumps({

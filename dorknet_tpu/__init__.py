@@ -28,9 +28,18 @@ from dorknet_tpu.config import (
     use_pallas,
 )
 
+# Convenience top-level API
+from dorknet_tpu.network import FeedForwardNetwork, Trainer
+from dorknet_tpu import layers, optimisers, models
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "FeedForwardNetwork",
+    "Trainer",
+    "layers",
+    "optimisers",
+    "models",
     "config",
     "set_compute_dtype",
     "get_compute_dtype",
