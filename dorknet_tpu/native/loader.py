@@ -35,6 +35,17 @@ def _load():
     lib.dorknet_decode_batch_hwc.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.dk_pool_create.restype = ctypes.c_void_p
+    lib.dk_pool_create.argtypes = [ctypes.c_int]
+    lib.dk_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.dk_pool_submit.restype = ctypes.c_int
+    lib.dk_pool_submit.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint64]
+    lib.dk_pool_poll.restype = ctypes.c_int
+    lib.dk_pool_poll.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return lib
 
@@ -92,3 +103,66 @@ def decode_batch_hwc(paths, precrop_hw, num_threads=None):
         _path_array(paths), n, precrop_hw[0], precrop_hw[1],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     return out, ok
+
+
+class AsyncDecodePool:
+    """Native async decode runtime: submit batch jobs (paths -> preallocated
+    (N,3,crop_h,crop_w) float32 buffer), poll/wait completion — decode runs on
+    C++ std::threads with zero Python-side work in flight. Replaces the
+    reference's Python producer thread + ThreadPool as the loader runtime.
+
+        pool = AsyncDecodePool(threads=8)
+        job = pool.submit(paths, (281, 281), (225, 225), "random", seed=1)
+        ...                       # train on the previous batch meanwhile
+        batch, ok = pool.wait(job)
+    """
+
+    def __init__(self, threads=None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader not built — run make -C native")
+        self._lib = lib
+        self._pool = lib.dk_pool_create(threads or min(16, os.cpu_count() or 1))
+        self._jobs = {}
+
+    def submit(self, paths, precrop_hw, crop_hw, crop_mode="center", seed=0):
+        mode = {"center": 0, "random": 1, "resize": 2}[crop_mode]
+        out = np.zeros((len(paths), 3, crop_hw[0], crop_hw[1]), dtype=np.float32)
+        arr = _path_array(paths)
+        job_id = self._lib.dk_pool_submit(
+            self._pool, arr, len(paths), precrop_hw[0], precrop_hw[1],
+            crop_hw[0], crop_hw[1], mode,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_uint64(seed))
+        self._jobs[job_id] = out  # keep the buffer alive until collected
+        return job_id
+
+    def poll(self, job_id):
+        ok = ctypes.c_int(0)
+        done = self._lib.dk_pool_poll(self._pool, job_id, ctypes.byref(ok))
+        if done < 0:
+            raise KeyError("unknown job {}".format(job_id))
+        return bool(done), ok.value
+
+    def wait(self, job_id, timeout_s=60.0, poll_interval_s=0.001):
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while True:
+            done, ok = self.poll(job_id)
+            if done:
+                return self._jobs.pop(job_id), ok
+            if time.monotonic() > deadline:
+                raise TimeoutError("decode job {} timed out".format(job_id))
+            time.sleep(poll_interval_s)
+
+    def close(self):
+        if self._pool is not None:
+            self._lib.dk_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -279,3 +279,159 @@ int dorknet_decode_batch_hwc(const char** paths, int n, int precrop_h,
 int dorknet_loader_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async decode pool — the native runtime half of the data loader. Python
+// submits batch jobs (paths + destination buffer) and polls for completion;
+// a std::thread worker pool does decode+resize+crop+normalise per image.
+// This replaces the reference's Python producer thread + ThreadPool
+// (data_loading/image_data_loader.py:20-24,97-98) with a GIL-free native
+// pipeline: Python's only per-batch work is a submit and a poll.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <condition_variable>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct Job {
+  std::vector<std::string> paths;
+  int precrop_h, precrop_w, crop_h, crop_w, crop_mode;
+  float* out;
+  uint64_t seed;
+  std::atomic<int> remaining;
+  std::atomic<int> ok_count{0};
+};
+
+struct Pool {
+  std::vector<std::thread> workers;
+  std::deque<std::pair<std::shared_ptr<Job>, int>> tasks;  // (job, image idx)
+  std::mutex mu;
+  std::condition_variable cv;
+  bool stopping = false;
+  std::mutex jobs_mu;
+  std::vector<std::shared_ptr<Job>> jobs;  // index == job id
+
+  void worker_loop() {
+    for (;;) {
+      std::pair<std::shared_ptr<Job>, int> task;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stopping || !tasks.empty(); });
+        if (stopping && tasks.empty()) return;
+        task = tasks.front();
+        tasks.pop_front();
+      }
+      Job& j = *task.first;
+      int i = task.second;
+      float* dst = j.out + size_t(i) * 3 * j.crop_h * j.crop_w;
+      Image im;
+      if (!decode_file(j.paths[i].c_str(), &im)) {
+        std::memset(dst, 0, sizeof(float) * 3 * j.crop_h * j.crop_w);
+      } else {
+        Image rs;
+        int row_off = 0, col_off = 0;
+        if (j.crop_mode == 2) {
+          resize_bilinear(im, j.crop_h, j.crop_w, &rs);
+        } else {
+          resize_bilinear(im, j.precrop_h, j.precrop_w, &rs);
+          if (j.crop_mode == 0) {
+            row_off = (j.precrop_h - j.crop_h) / 2;
+            col_off = (j.precrop_w - j.crop_w) / 2;
+          } else {
+            std::mt19937 rng(j.seed + uint64_t(i) * 0x9E3779B97F4A7C15ull);
+            row_off = int(rng() % uint32_t(std::max(1, j.precrop_h - j.crop_h)));
+            col_off = int(rng() % uint32_t(std::max(1, j.precrop_w - j.crop_w)));
+          }
+        }
+        for (int ch = 0; ch < 3; ++ch) {
+          for (int y = 0; y < j.crop_h; ++y) {
+            const uint8_t* srow =
+                &rs.data[((size_t(y + row_off)) * rs.w + col_off) * 3];
+            float* drow = dst + (size_t(ch) * j.crop_h + y) * j.crop_w;
+            for (int x = 0; x < j.crop_w; ++x)
+              drow[x] = float(srow[3 * x + ch]) - 128.0f;
+          }
+        }
+        j.ok_count.fetch_add(1);
+      }
+      j.remaining.fetch_sub(1);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dk_pool_create(int num_threads) {
+  Pool* p = new Pool();
+  if (num_threads < 1) num_threads = 1;
+  for (int i = 0; i < num_threads; ++i)
+    p->workers.emplace_back([p] { p->worker_loop(); });
+  return p;
+}
+
+void dk_pool_destroy(void* pool) {
+  Pool* p = static_cast<Pool*>(pool);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stopping = true;
+  }
+  p->cv.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
+}
+
+// Submit a batch decode job. The paths are copied; `out` must stay alive until
+// the job polls complete. Returns a job id (>= 0).
+int dk_pool_submit(void* pool, const char** paths, int n, int precrop_h,
+                   int precrop_w, int crop_h, int crop_w, int crop_mode,
+                   float* out, uint64_t seed) {
+  Pool* p = static_cast<Pool*>(pool);
+  auto job = std::make_shared<Job>();
+  job->paths.reserve(n);
+  for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  job->precrop_h = precrop_h;
+  job->precrop_w = precrop_w;
+  job->crop_h = crop_h;
+  job->crop_w = crop_w;
+  job->crop_mode = crop_mode;
+  job->out = out;
+  job->seed = seed;
+  job->remaining.store(n);
+  int id;
+  {
+    std::lock_guard<std::mutex> lk(p->jobs_mu);
+    id = int(p->jobs.size());
+    p->jobs.push_back(job);
+  }
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    for (int i = 0; i < n; ++i) p->tasks.emplace_back(job, i);
+  }
+  p->cv.notify_all();
+  return id;
+}
+
+// 1 when the job's buffer is fully written; also reports decoded-ok count.
+int dk_pool_poll(void* pool, int job_id, int* ok_count) {
+  Pool* p = static_cast<Pool*>(pool);
+  std::shared_ptr<Job> job;
+  {
+    std::lock_guard<std::mutex> lk(p->jobs_mu);
+    if (job_id < 0 || job_id >= int(p->jobs.size())) return -1;
+    job = p->jobs[job_id];
+  }
+  if (job->remaining.load() == 0) {
+    if (ok_count) *ok_count = job->ok_count.load();
+    return 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

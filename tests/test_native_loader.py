@@ -81,3 +81,38 @@ def test_image_data_loader_native_path(tmp_path, img_paths):
         assert not (X == 0).all()
     finally:
         loader.stop_thread()
+
+
+def test_async_decode_pool_matches_sync(img_paths):
+    from dorknet_tpu.native import AsyncDecodePool, decode_batch
+
+    pool = AsyncDecodePool(threads=2)
+    try:
+        # pipeline two jobs
+        j1 = pool.submit(img_paths[:4], (100, 100), (80, 80), "center")
+        j2 = pool.submit(img_paths[4:], (100, 100), (80, 80), "center")
+        b1, ok1 = pool.wait(j1)
+        b2, ok2 = pool.wait(j2)
+        assert ok1 == 4 and ok2 == 4
+        ref1, _ = decode_batch(img_paths[:4], (100, 100), (80, 80), "center")
+        np.testing.assert_array_equal(b1, ref1)
+        assert b2.shape == (4, 3, 80, 80)
+    finally:
+        pool.close()
+
+
+def test_async_pool_bad_file_and_unknown_job(tmp_path, img_paths):
+    from dorknet_tpu.native import AsyncDecodePool
+
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"garbage")
+    pool = AsyncDecodePool(threads=1)
+    try:
+        j = pool.submit([img_paths[0], bad], (32, 32), (24, 24), "center")
+        batch, ok = pool.wait(j)
+        assert ok == 1 and (batch[1] == 0).all()
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            pool.poll(999)
+    finally:
+        pool.close()
