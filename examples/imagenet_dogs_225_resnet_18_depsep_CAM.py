@@ -1,14 +1,15 @@
-"""Class Activation Map inference on trained ResNet-18-depsep.
+"""Class Activation Map inference on a trained ResNet-18-depsep.
 
-Mirrors the reference CAM example (examples/imagenet_dogs_225_resnet_18_depsep_CAM.py):
-loads the trained net from json+h5, and for each image in ./dog_images produces
-JET-colormap CAM overlays for the top-3 classes in CAM_outputs/.
+For each image in ./dog_images: top-3 class predictions and a JET-colormap CAM
+overlay per class, written to CAM_outputs/<image>/ (the reference CAM
+example's outputs, examples/imagenet_dogs_225_resnet_18_depsep_CAM.py).
 
-TPU-first: the two forwards (scores + res8 tap), the dense-weight projection,
-bilinear upsample, relu and min-max normalisation all run in ONE jitted XLA
-program (dorknet_tpu.cam.compute_cam_scores) — and unlike the reference, the
-feature-tap forward does NOT mutate BN running stats (SURVEY §3.3). Only the
-colormap overlay stays on host (cv2)."""
+TPU-first: the two forwards (scores + res8 feature tap), the dense-weight
+projection, bilinear upsample, relu and min-max normalisation run as ONE
+jitted XLA program (dorknet_tpu.cam.compute_cam_scores) — and unlike the
+reference, the tap does NOT mutate BN running stats (SURVEY §3.3). Only the
+colormap overlay remains host-side cv2 work.
+"""
 
 import json
 import os
@@ -16,57 +17,51 @@ import os
 import cv2
 import numpy as np
 
+from dorknet_tpu.cam import compute_cam_scores
 from dorknet_tpu.data_loading import ImagePreprocessor
 from dorknet_tpu.models import ResNet18
-from dorknet_tpu.network import FeedForwardNetwork
-from dorknet_tpu.cam import compute_cam_scores
 
-BATCH_SIZE = 60
-im_dir = "./dog_images"
-number_of_classes = 120
-
-
-def save_outputs(save_dir, orig_image, output_cam_list, class_name_list):
-    orig_image = cv2.resize(orig_image, output_cam_list[0].shape)
-    os.makedirs(save_dir, exist_ok=True)
-    for ind, (class_name, cam_array) in enumerate(
-            zip(class_name_list, output_cam_list)):
-        cam_array = show_cam_on_image(orig_image, cam_array)
-        cv2.imwrite(os.path.join(save_dir, str(ind) + "_" + class_name + ".png"),
-                    cam_array)
+EXPERIMENT = "DogsImageNet225ResNet18DepSep"
+CHECKPOINT = "epoch_26_testacc_0.686.h5"
+CLASS_MAP = "./imagenet_dog_class_names/num_to_dog_name_map.json"
+IMAGE_DIR = "./dog_images"
+OUT_ROOT = "CAM_outputs"
 
 
-def show_cam_on_image(img, mask):
-    heatmap = cv2.applyColorMap(np.uint8(255 * mask), cv2.COLORMAP_JET)
-    heatmap = np.float32(heatmap)
-    cam = heatmap + np.float32(img)
-    cam = cam / np.max(cam)
-    return np.uint8(255 * cam)
+def overlay_heatmap(bgr_image, cam01):
+    """JET heatmap blended onto the image, uint8 (reference :43-49 behaviour)."""
+    heat = cv2.applyColorMap(np.uint8(255 * cam01), cv2.COLORMAP_JET).astype(np.float32)
+    blended = heat + bgr_image.astype(np.float32)
+    return np.uint8(255 * blended / blended.max())
+
+
+def run_one(net, preprocessor, class_names, image_path, out_dir):
+    chw = preprocessor.load_image(image_path)
+    scores, cams = compute_cam_scores(net, chw[None], top_k=3,
+                                      terminal_layer_name="res8")
+    ranked = np.argsort(np.asarray(scores))[::-1][:3]
+    original = cv2.resize(chw.transpose(1, 2, 0) + 128.0, (225, 225))
+    os.makedirs(out_dir, exist_ok=True)
+    for rank, (cls, cam) in enumerate(zip(ranked, np.asarray(cams))):
+        name = class_names[str(cls)]
+        cv2.imwrite(os.path.join(out_dir, "{}_{}.png".format(rank, name)),
+                    overlay_heatmap(original, cam))
 
 
 if __name__ == "__main__":
+    with open(CLASS_MAP) as f:
+        class_names = json.load(f)
     preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
-    experiment_name = "DogsImageNet225ResNet18DepSep"
-    num_to_dog_name_map_fname = "./imagenet_dog_class_names/num_to_dog_name_map.json"
-    with open(num_to_dog_name_map_fname, "r") as f:
-        num_to_dog_name_map = json.load(f)
-    network = ResNet18("", load_layers=False)
-    network.load_network_from_json_and_h5(
-        os.path.join(experiment_name, experiment_name + ".json"),
-        os.path.join(experiment_name, "epoch_26_testacc_0.686.h5"))
-    network.to_gpu()
+    net = ResNet18("", load_layers=False)
+    net.load_network_from_json_and_h5(
+        os.path.join(EXPERIMENT, EXPERIMENT + ".json"),
+        os.path.join(EXPERIMENT, CHECKPOINT))
+    net.to_gpu()
 
-    for im_path in os.listdir(im_dir):
-        if not os.path.isdir(os.path.join(im_dir, im_path)):
-            im = preprocessor.load_image(os.path.join(im_dir, im_path))
-            X = im.reshape((1,) + im.shape)
-            scores, cams = compute_cam_scores(network, X, top_k=3,
-                                              terminal_layer_name="res8")
-            best = np.argsort(np.asarray(scores))[::-1]
-            save_outputs(
-                "CAM_outputs/" + os.path.splitext(im_path)[0],
-                im.transpose([1, 2, 0]) + 128.0,
-                [np.asarray(c) for c in cams],
-                [num_to_dog_name_map[str(b)] for b in best[:3]])
+    for fname in os.listdir(IMAGE_DIR):
+        if not os.path.isdir(os.path.join(IMAGE_DIR, fname)):
+            run_one(net, preprocessor, class_names,
+                    os.path.join(IMAGE_DIR, fname),
+                    os.path.join(OUT_ROOT, os.path.splitext(fname)[0]))
 
     print("CAM complete, results saved in CAM_outputs directory")

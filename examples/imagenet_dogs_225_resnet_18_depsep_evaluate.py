@@ -1,6 +1,15 @@
-"""Evaluate a trained ResNet-18-depsep: optional val-set accuracy + top-5
-prediction annotation onto images (mirrors the reference evaluate example)."""
+"""Evaluate a trained ResNet-18-depsep checkpoint.
 
+Two modes, mirroring the reference evaluate example's behaviour:
+* optional full val-set accuracy (`--verify`, needs the dataset), and
+* top-5 prediction annotation for every image in ./dog_images, written to
+  ./dog_images/outputs.
+
+Usage: python -m examples.imagenet_dogs_225_resnet_18_depsep_evaluate \
+           [--verify] [--checkpoint epoch_26_testacc_0.686.h5]
+"""
+
+import argparse
 import json
 import os
 
@@ -10,48 +19,66 @@ import numpy as np
 from dorknet_tpu.data_loading import ImageDataLoader, ImagePreprocessor
 from dorknet_tpu.models import ResNet18
 
-BATCH_SIZE = 60
-data_folder = os.environ.get("DORKNET_DATA", os.path.expanduser("~/Datasets"))
-im_dir = "./dog_images"
-verify_accuracy = False
+EXPERIMENT = "DogsImageNet225ResNet18DepSep"
+CLASS_MAP = "./imagenet_dog_class_names/num_to_dog_name_map.json"
+
+
+def load_trained_network(checkpoint):
+    net = ResNet18("", load_layers=False)
+    net.load_network_from_json_and_h5(
+        os.path.join(EXPERIMENT, EXPERIMENT + ".json"),
+        os.path.join(EXPERIMENT, checkpoint))
+    return net
+
+
+def check_val_accuracy(net, preprocessor, batch_size=60):
+    data_root = os.environ.get("DORKNET_DATA", os.path.expanduser("~/Datasets"))
+    loader = ImageDataLoader(
+        os.path.join(data_root, "ImageNet2012/ILSVRC2012_dogs/val_img"),
+        batch_size, preprocessor, start_thread=True)
+    try:
+        n_val = 120 * 50
+        acc = net.test(loader.pull_batch(n_val // batch_size), batch_size, n_val)
+        print("Test acc: {}".format(acc))
+        return acc
+    finally:
+        loader.stop_thread()
+
+
+def annotate_images(net, preprocessor, class_names, im_dir="./dog_images"):
+    out_dir = os.path.join(im_dir, "outputs")
+    os.makedirs(out_dir, exist_ok=True)
+    for fname in os.listdir(im_dir):
+        src = os.path.join(im_dir, fname)
+        if os.path.isdir(src):
+            continue
+        X = preprocessor.load_image(src)[None]
+        _, batch_scores = net.forward(X, y_one_hot=None, test_mode=True)
+        scores = np.asarray(batch_scores)[0]
+        ranked = np.argsort(scores)[::-1]
+        print("###########################")
+        for cls in ranked[:5]:
+            print(fname, cls, scores[cls], class_names[str(cls)])
+        annotated = cv2.imread(src)
+        cv2.putText(annotated, class_names[str(ranked[0])],
+                    (annotated.shape[0] // 10, annotated.shape[1] // 10),
+                    cv2.FONT_HERSHEY_SIMPLEX,
+                    min(annotated.shape[0], annotated.shape[1]) / 1000,
+                    (0, 255, 100), 5)
+        cv2.imwrite(os.path.join(out_dir, fname), annotated)
+
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true",
+                    help="measure val-set accuracy (needs the dataset)")
+    ap.add_argument("--checkpoint", default="epoch_26_testacc_0.686.h5")
+    args = ap.parse_args()
+
+    with open(CLASS_MAP) as f:
+        class_names = json.load(f)
     preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
-    experiment_name = "DogsImageNet225ResNet18DepSep"
-    num_to_dog_name_map_fname = "./imagenet_dog_class_names/num_to_dog_name_map.json"
-    with open(num_to_dog_name_map_fname, "r") as f:
-        num_to_dog_name_map = json.load(f)
-    network = ResNet18("", load_layers=False)
-    network.load_network_from_json_and_h5(
-        os.path.join(experiment_name, experiment_name + ".json"),
-        os.path.join(experiment_name, "epoch_26_testacc_0.686.h5"))
-
-    if verify_accuracy:
-        val_data_loader = ImageDataLoader(
-            os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/val_img"),
-            BATCH_SIZE, preprocessor, start_thread=True)
-        print("Testing...")
-        test_acc = network.test(val_data_loader.pull_batch(
-            int(120 * 50 / BATCH_SIZE)), BATCH_SIZE, 120 * 50)
-        val_data_loader.stop_thread()
-        print("Test acc: {}".format(test_acc))
-
-    os.makedirs(os.path.join(im_dir, "outputs"), exist_ok=True)
-    for im_path in os.listdir(im_dir):
-        if not os.path.isdir(os.path.join(im_dir, im_path)):
-            im = preprocessor.load_image(os.path.join(im_dir, im_path))
-            X = im.reshape((1,) + im.shape)
-            loss, batch_scores = network.forward(X, y_one_hot=None, test_mode=True)
-            scores = np.asarray(batch_scores)[0, :]
-            best = np.argsort(scores)[::-1]
-            print("###########################")
-            for i in range(5):
-                print(im_path, best[i], scores[best[i]],
-                      num_to_dog_name_map[str(best[i])])
-            plain_im = cv2.imread(os.path.join(im_dir, im_path))
-            cv2.putText(plain_im, num_to_dog_name_map[str(best[0])],
-                        (int(plain_im.shape[0] / 10), int(plain_im.shape[1] / 10)),
-                        cv2.FONT_HERSHEY_SIMPLEX,
-                        min(plain_im.shape[0], plain_im.shape[1]) / 1000,
-                        (0, 255, 100), 5)
-            cv2.imwrite(os.path.join(im_dir, "outputs", im_path), plain_im)
+    network = load_trained_network(args.checkpoint)
+    if args.verify:
+        check_val_accuracy(network, preprocessor)
+    annotate_images(network, preprocessor, class_names)
