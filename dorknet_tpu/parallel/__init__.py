@@ -1,3 +1,4 @@
+from dorknet_tpu.parallel.multihost import initialize, is_main_process, local_batch_slice
 from dorknet_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -7,6 +8,9 @@ from dorknet_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize",
+    "is_main_process",
+    "local_batch_slice",
     "make_mesh",
     "batch_sharding",
     "replicated",

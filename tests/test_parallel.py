@@ -109,3 +109,12 @@ def test_device_prefetch():
     for (Xh, yh), (Xd, yd) in zip(batches, out):
         assert isinstance(Xd, jax.Array)
         np.testing.assert_array_equal(np.asarray(Xd), Xh)
+
+
+def test_multihost_api_single_process():
+    from dorknet_tpu.parallel import initialize, is_main_process, local_batch_slice
+
+    n, idx = initialize()
+    assert (n, idx) == (1, 0)
+    assert is_main_process()
+    assert local_batch_slice(64) == (0, 64)
