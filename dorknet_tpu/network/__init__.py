@@ -1,4 +1,5 @@
 from dorknet_tpu.network.feed_forward_network import FeedForwardNetwork
 from dorknet_tpu.network.trainer import Trainer
+from dorknet_tpu.network.inference import InferenceRunner
 
-__all__ = ["FeedForwardNetwork", "Trainer"]
+__all__ = ["FeedForwardNetwork", "Trainer", "InferenceRunner"]

@@ -1,0 +1,66 @@
+"""Batched inference runner — the serving path.
+
+The reference's inference story is the ad-hoc eval loop (test-mode forward per
+batch with host argmax, network/feed_forward_network.py:72-88 of the
+reference). For production serving on TPU the wants are different: ONE
+fixed-shape compiled program (no recompiles on ragged final batches — they are
+padded and sliced), params gathered once, batches streamed through async
+device_put, and optional mesh sharding for batch-parallel serving.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class InferenceRunner:
+    def __init__(self, network, batch_size, batch_sharding=None):
+        self.network = network
+        self.batch_size = int(batch_size)
+        self.batch_sharding = batch_sharding
+        self._params = network.gather_params()
+        self._states = network.gather_states()
+        self._fn = jax.jit(lambda p, s, x: network._test_fn(p, s, x))
+
+    def refresh(self):
+        """Re-capture params/state after further training."""
+        self._params = self.network.gather_params()
+        self._states = self.network.gather_states()
+
+    def _run_fixed(self, X):
+        if self.batch_sharding is not None:
+            X = jax.device_put(X, self.batch_sharding)
+        return self._fn(self._params, self._states, X)
+
+    def predict_probs(self, X):
+        """X: (N, C, H, W) any N — padded internally to full batches of the
+        compiled shape; returns (N, num_classes) numpy softmax scores."""
+        X = np.asarray(X, dtype=np.float32)
+        N = X.shape[0]
+        B = self.batch_size
+        outs = []
+        for i in range(0, N, B):
+            chunk = X[i:i + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            probs = self._run_fixed(jnp.asarray(chunk))
+            outs.append(np.asarray(probs)[:B - pad if pad else B])
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, X):
+        """Top-1 class ids, (N,) int."""
+        return self.predict_probs(X).argmax(axis=1)
+
+    def predict_iter(self, batches):
+        """Stream (X, ...) batches (e.g. a loader's pull_batch); yields
+        (probs, *rest) per batch, pipelining the host→device transfer."""
+        from dorknet_tpu.data_loading.prefetch import device_prefetch
+
+        for batch in device_prefetch(
+                ((np.asarray(b[0], np.float32),) + tuple(b[1:]) for b in batches),
+                size=2, sharding=self.batch_sharding):
+            X = batch[0]
+            probs = self._fn(self._params, self._states, X)
+            yield (np.asarray(probs),) + tuple(batch[1:])

@@ -226,3 +226,37 @@ def test_trainer_accumulate_step_matches_big_batch():
     np.testing.assert_allclose(
         np.asarray(net_a.layers[0].learned_params["weights"]),
         np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-5, atol=1e-6)
+
+
+def test_inference_runner_padding_and_equivalence():
+    from dorknet_tpu.network import InferenceRunner
+
+    net = small_net(seed=41)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    X, y, one_hot = toy_batch(B=16)
+    for _ in range(3):
+        tr.step(X, one_hot)
+
+    runner = InferenceRunner(net, batch_size=8)
+    # 13 samples: one full batch + one padded partial batch
+    probs = runner.predict_probs(X[:13])
+    assert probs.shape == (13, 5)
+    _, ref = net.forward(X[:13], None, test_mode=True)
+    np.testing.assert_allclose(probs, np.asarray(ref), rtol=1e-4, atol=1e-6)
+    preds = runner.predict(X[:13])
+    np.testing.assert_array_equal(preds, np.asarray(ref).argmax(1))
+
+    # streaming API over loader-style tuples
+    batches = [(X[:8], y[:8], one_hot[:8]), (X[8:16], y[8:16], one_hot[8:16])]
+    got = list(runner.predict_iter(iter(batches)))
+    assert len(got) == 2
+    np.testing.assert_allclose(np.concatenate([g[0] for g in got]),
+                               np.asarray(net.forward(X, None, test_mode=True)[1]),
+                               rtol=1e-4, atol=1e-6)
+
+    # refresh() picks up newly-trained params
+    tr.step(X, one_hot)
+    stale = runner.predict_probs(X[:4])
+    runner.refresh()
+    fresh = runner.predict_probs(X[:4])
+    assert not np.allclose(stale, fresh)
