@@ -9,9 +9,6 @@ We keep its constructor signature (input_shape positional arg accepted and
 unused, as there) while fixing those defects: proper base init, h5 io, and
 registration in the load dispatch (see network/feed_forward_network.py here)."""
 
-import numpy as np
-import jax.numpy as jnp
-
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.ops.pool import max_pool, global_avg_pool
 from dorknet_tpu.utils import h5io

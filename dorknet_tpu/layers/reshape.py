@@ -4,9 +4,6 @@ The reference's ReshapeLayer (layers/reshape.py) is broken (a ``super.__init__``
 typo) and unused; provided here in working form for API completeness. Reshapes
 are expressed over the public NCHW layout."""
 
-import numpy as np
-import jax.numpy as jnp
-
 from dorknet_tpu.layers.base import Layer, to_nchw, to_nhwc
 from dorknet_tpu.utils import h5io
 

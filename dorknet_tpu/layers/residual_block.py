@@ -13,9 +13,6 @@ accountings: ``reg_loss`` (reported, reference accounting) and ``reg_loss_full``
 (every regulariser, what the applied gradient must contain). The network engine
 differentiates the full sum but reports the reference sum."""
 
-import numpy as np
-import jax.numpy as jnp
-
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.layers.convolution import ConvLayer
 from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer

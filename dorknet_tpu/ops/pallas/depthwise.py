@@ -12,8 +12,6 @@ dx in one loop nest; here dx is the forward kernel applied to the padded
 upstream gradient with the spatially-flipped filter, and dw is a dedicated
 nine-tap reduction kernel — each a single HBM pass)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

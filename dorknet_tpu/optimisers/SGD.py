@@ -1,7 +1,6 @@
 """Plain SGD: W += -lr * g (reference: optimisers/SGD.py:20-24)."""
 
 import jax
-import jax.numpy as jnp
 
 from dorknet_tpu.optimisers.base import Optimiser
 

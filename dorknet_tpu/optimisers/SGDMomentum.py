@@ -5,7 +5,6 @@
 """
 
 import jax
-import jax.numpy as jnp
 
 from dorknet_tpu.optimisers.base import Optimiser
 

@@ -6,9 +6,6 @@ use h5 when interchange with reference-style tooling matters."""
 
 import os
 
-import jax
-import numpy as np
-
 
 def _state_tree(network, trainer=None):
     tree = {
