@@ -32,13 +32,18 @@ def _cast_in(x):
 def _pet():
     """preferred_element_type: fp32 accumulation for the fp32 path. For bf16
     compute we let the op emit bf16 (the MXU still accumulates fp32 internally)
-    and cast back — forcing an fp32 output would make the conv VJP mix a
-    fp32 cotangent with bf16 operands, which lax rejects."""
+    — forcing an fp32 output would make the conv VJP mix a fp32 cotangent with
+    bf16 operands, which lax rejects."""
     return jnp.float32 if get_compute_dtype() == jnp.float32 else None
 
 
 def _cast_out(y):
-    return y.astype(jnp.float32) if y.dtype != jnp.float32 else y
+    """Activations FLOW in the compute dtype: under bf16 policy the conv
+    outputs stay bf16 (halving activation HBM traffic through the network);
+    batch-norm statistics and the loss still compute in fp32 (ops/norm.py,
+    ops/loss.py upcast internally). fp32 policy is unchanged."""
+    dt = get_compute_dtype()
+    return y.astype(dt) if y.dtype != dt else y
 
 
 def conv2d(x, w_oihw, b=None, stride=1, padding=0):
@@ -58,7 +63,7 @@ def conv2d(x, w_oihw, b=None, stride=1, padding=0):
     )
     y = _cast_out(y)
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1)
+        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
     return y
 
 
@@ -96,7 +101,7 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     )
     y = _cast_out(y)
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1)
+        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
     return y
 
 
@@ -114,7 +119,7 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
                           preferred_element_type=_pet(),
                           precision=get_matmul_precision()))
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1)
+        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
     return y
 
 
@@ -124,5 +129,5 @@ def dense(x, w_io, b=None):
                           preferred_element_type=_pet(),
                           precision=get_matmul_precision()))
     if b is not None:
-        y = y + b.reshape(1, -1)
+        y = y + b.reshape(1, -1).astype(y.dtype)
     return y

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 def softmax_probs(logits):
     """Row softmax, max-stabilised (equal to reference's raw-exp softmax in exact
-    arithmetic; the reference skips stabilisation, layers/losses.py:15-16)."""
+    arithmetic; the reference skips stabilisation, layers/losses.py:15-16).
+    Always computed in fp32 (upcast under the bf16 activation flow)."""
+    logits = logits.astype(jnp.float32)
     z = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
     e = jnp.exp(z)
     return e / jnp.sum(e, axis=1, keepdims=True)

@@ -33,12 +33,15 @@ def batch_norm_train(x, gamma, beta, running_mean, running_std, momentum=0.95,
     reference: layers/batch_norm.py:76-89).
     """
     axis = (0, 1, 2) if x.ndim == 4 else (0,)
-    mean = jnp.mean(x, axis=axis)
-    var = jnp.var(x, axis=axis)
+    # statistics and normalisation in fp32 regardless of the activation dtype
+    # (bf16 flow keeps y in the input dtype, stats stay exact-ish)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis)
+    var = jnp.var(xf, axis=axis)
     std = jnp.sqrt(var + eps)
     shape = (1, 1, 1, -1) if x.ndim == 4 else (1, -1)
-    x_hat = (x - mean.reshape(shape)) / std.reshape(shape)
-    y = gamma.reshape(shape) * x_hat + beta.reshape(shape)
+    x_hat = (xf - mean.reshape(shape)) / std.reshape(shape)
+    y = (gamma.reshape(shape) * x_hat + beta.reshape(shape)).astype(x.dtype)
 
     m, s = jax.lax.stop_gradient((mean, std))
     if initialized:
@@ -53,5 +56,6 @@ def batch_norm_inference(x, gamma, beta, running_mean, running_std):
     """Test-mode BN: normalise by the stored running mean/std
     (reference: layers/batch_norm.py:101-115)."""
     shape = (1, 1, 1, -1) if x.ndim == 4 else (1, -1)
-    x_hat = (x - running_mean.reshape(shape)) / running_std.reshape(shape)
-    return gamma.reshape(shape) * x_hat + beta.reshape(shape)
+    xf = x.astype(jnp.float32)
+    x_hat = (xf - running_mean.reshape(shape)) / running_std.reshape(shape)
+    return (gamma.reshape(shape) * x_hat + beta.reshape(shape)).astype(x.dtype)
