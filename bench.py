@@ -28,7 +28,7 @@ def log(*a):
 
 
 def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
-                compute_dtype=None):
+                compute_dtype=None, deadline=None):
     import jax.numpy as jnp
     import dorknet_tpu
     from dorknet_tpu.models import ResNet18
@@ -60,6 +60,9 @@ def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
         best = min(best, dt)
         log(f"  b={batch_size} trial{t}: {dt * 1e3:.1f} ms/step "
             f"({batch_size / dt:.0f} img/s)")
+        if deadline is not None and time.monotonic() > deadline:
+            log("  (stopping trials: budget)")
+            break
     ips = batch_size / best
     log(f"train b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
     if compute_dtype is not None:
@@ -171,7 +174,7 @@ def main():
         return deadline - time.monotonic()
 
     try:
-        ips = bench_train(256, steps=8, trials=2)
+        ips = bench_train(256, steps=8, trials=2, deadline=deadline - 30)
         results["train_ips_b256_fp32"] = round(ips, 1)
         best = max(best, ips)
     except Exception as e:
@@ -187,7 +190,8 @@ def main():
         log("skipping multi_step config (time budget)")
     if time_left() > 150:
         try:
-            ips = bench_train(256, steps=8, trials=2, compute_dtype=jnp.bfloat16)
+            ips = bench_train(256, steps=8, trials=2, compute_dtype=jnp.bfloat16,
+                              deadline=deadline - 30)
             results["train_ips_b256_bf16"] = round(ips, 1)
             best = max(best, ips)
         except Exception as e:

@@ -118,3 +118,22 @@ def test_multihost_api_single_process():
     assert (n, idx) == (1, 0)
     assert is_main_process()
     assert local_batch_slice(64) == (0, 64)
+
+
+def test_dp_multi_step_sharded():
+    """multi_step with a data-sharded batch stack: dim 0 is the scan (step)
+    axis, dim 1 the sharded batch axis."""
+    X, y = batch(16)
+    Xs = np.stack([X, X + 0.01])
+    ys = np.stack([y, y])
+
+    net_a = build(12)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    la = [float(tr_a.step(Xs[i], ys[i])[0]) for i in range(2)]
+
+    mesh = make_mesh({"data": 8})
+    net_b = build(12)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh))
+    lb, _ = tr_b.multi_step(Xs, ys)
+    np.testing.assert_allclose(np.asarray(lb), la, rtol=1e-4)
