@@ -169,17 +169,22 @@ def mixup_pair(key, X, one_hot, mixup_lo, mixup_hi):
 
 
 @partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
-                                   "horizontal_flip_prob", "crop_mode", "mixup"))
+                                   "horizontal_flip_prob", "crop_mode", "mixup",
+                                   "output_layout"))
 def train_pipeline(key, images_precrop, one_hot, out_hw,
                    hsv_pert_tuples=None, rotation_tuple=None,
                    horizontal_flip_prob=None, crop_mode="random",
-                   mixup=None):
+                   mixup=None, output_layout="NCHW"):
     """precrop-size BGR batch (B,H,W,C in [0,255]) → augmented, optionally
-    mixed-up, NCHW float32, -128-shifted training batch. One jitted program."""
+    mixed-up, -128-shifted float32 training batch in one jitted program.
+    output_layout="NHWC" pairs with Trainer(input_layout="NHWC") to avoid a
+    round-trip transpose (NHWC is the internal compute layout)."""
     k_aug, k_mix = jax.random.split(key)
     x = augment_batch(k_aug, images_precrop, out_hw, hsv_pert_tuples,
                       rotation_tuple, horizontal_flip_prob, crop_mode)
     x = x - 128.0
     if mixup is not None:
         x, one_hot = mixup_pair(k_mix, x, one_hot, float(mixup[0]), float(mixup[1]))
-    return jnp.transpose(x, (0, 3, 1, 2)), one_hot
+    if output_layout == "NCHW":
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x, one_hot

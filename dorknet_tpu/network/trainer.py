@@ -21,22 +21,30 @@ from dorknet_tpu.layers.base import to_nhwc
 
 class Trainer:
     def __init__(self, network, optimiser, batch_sharding=None, param_sharding=None,
-                 remat=False):
+                 remat=False, input_layout="NCHW"):
         """remat=True wraps the forward composition in ``jax.checkpoint``:
         activations are rematerialised during the backward pass instead of
         stored — trades ~1 extra forward of FLOPs for a large cut in HBM
-        footprint, unlocking bigger batches on one chip."""
+        footprint, unlocking bigger batches on one chip.
+
+        input_layout="NHWC" accepts batches already in the internal layout
+        (e.g. straight from device_augment) and skips the NCHW→NHWC transpose."""
         self.network = network
         self.optimiser = optimiser
         self.batch_sharding = batch_sharding
         self.param_sharding = param_sharding
         self.remat = remat
+        assert input_layout in ("NCHW", "NHWC")
+        self.input_layout = input_layout
         self._jit_cache = {}
         self._cache = None  # optimiser state over the FULL network params tree
 
     def _signature(self):
-        return (self.network._version, self.remat,
+        return (self.network._version, self.remat, self.input_layout,
                 tuple(l._trace_signature() for l in self.network.layers))
+
+    def _to_internal(self, X):
+        return X if self.input_layout == "NHWC" else to_nhwc(X)
 
     def _forward_loss(self, params, states, X, y_one_hot):
         """(loss_for_grad, (loss_reported, probs, new_states)) — optionally
@@ -50,7 +58,7 @@ class Trainer:
 
         if self.remat:
             fwd = jax.checkpoint(fwd)
-        out, (new_states, reported_reg, full_reg) = fwd(params, to_nhwc(X))
+        out, (new_states, reported_reg, full_reg) = fwd(params, self._to_internal(X))
         data_loss, probs = network.loss_layer.fapply_loss(out, y_one_hot)
         return data_loss + full_reg, (data_loss + reported_reg, probs, new_states)
 

@@ -260,3 +260,16 @@ def test_inference_runner_padding_and_equivalence():
     runner.refresh()
     fresh = runner.predict_probs(X[:4])
     assert not np.allclose(stale, fresh)
+
+
+def test_trainer_nhwc_input_layout():
+    X, y, one_hot = toy_batch(B=8)
+    net_a = small_net(seed=51)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    net_b = small_net(seed=51)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9), input_layout="NHWC")
+    X_nhwc = np.transpose(X, (0, 2, 3, 1)).copy()
+    for _ in range(3):
+        la, _ = tr_a.step(X, one_hot)
+        lb, _ = tr_b.step(X_nhwc, one_hot)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
