@@ -28,17 +28,22 @@ def log(*a):
 
 
 def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
-                compute_dtype=None, deadline=None):
+                compute_dtype=None, deadline=None, model="resnet18"):
     import jax.numpy as jnp
     import dorknet_tpu
-    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.models import ResNet18, MobileNetV2, ResNet50
     from dorknet_tpu.optimisers import SGDMomentum
     from dorknet_tpu.network import Trainer
 
     if compute_dtype is not None:
         dorknet_tpu.set_compute_dtype(compute_dtype)
     np.random.seed(0)
-    net = ResNet18("bench", num_classes=classes)
+    if model == "mobilenet_v2":
+        net = MobileNetV2("bench-mnv2", num_classes=classes)
+    elif model == "resnet50":
+        net = ResNet50("bench-r50", num_classes=classes)
+    else:
+        net = ResNet18("bench", num_classes=classes)
     opt = SGDMomentum(net, 0.05 * (batch_size / 200.0), 0.9)
     trainer = Trainer(net, opt)
 
@@ -58,13 +63,13 @@ def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
         float(loss)  # hard sync: forces completion of the chain
         dt = (time.perf_counter() - t0) / steps
         best = min(best, dt)
-        log(f"  b={batch_size} trial{t}: {dt * 1e3:.1f} ms/step "
+        log(f"  {model} b={batch_size} trial{t}: {dt * 1e3:.1f} ms/step "
             f"({batch_size / dt:.0f} img/s)")
         if deadline is not None and time.monotonic() > deadline:
             log("  (stopping trials: budget)")
             break
     ips = batch_size / best
-    log(f"train b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
+    log(f"train {model} b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
     if compute_dtype is not None:
         dorknet_tpu.set_compute_dtype(jnp.float32)
     return ips
@@ -205,6 +210,17 @@ def main():
             log(f"CAM bench failed: {e}")
     else:
         log("skipping CAM config (time budget)")
+    # stretch zoo diagnostics (224px, not the headline metric)
+    for m in ("mobilenet_v2", "resnet50"):
+        if time_left() > 180:
+            try:
+                ips = bench_train(128, steps=6, trials=1, image=224,
+                                  classes=1000, deadline=deadline - 30, model=m)
+                results[f"train_ips_{m}_b128"] = round(ips, 1)
+            except Exception as e:
+                log(f"{m} failed: {e}")
+        else:
+            log(f"skipping {m} (time budget)")
     if time_left() > 120:
         try:
             host_ips, dev_ips = bench_aug_pipeline()
