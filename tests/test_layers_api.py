@@ -183,3 +183,37 @@ def test_residual_block_backward_adds_nested_reg_grads():
     # reg-free children get pure data gradients (zero here)
     np.testing.assert_allclose(np.asarray(block.layer_list[0].grads["weights"]),
                                0.0, atol=1e-8)
+
+
+def test_repr_strings_match_reference_format():
+    """The structure json is a dict of repr strings (reference
+    network/feed_forward_network.py:97-104) — formats must match."""
+    from dorknet_tpu.layers import DenseLayer, GlobalAveragePoolingLayer
+    import numpy as np
+
+    np.random.seed(0)
+    c = ConvLayer("conv0", filter_block_shape=(64, 3, 5, 5), stride=2,
+                  padding=1, with_bias=False, weight_regulariser=l2(0.0001))
+    assert repr(c) == ("ConvLayer(conv0, filter_block_shape=(64,3,5,5), "
+                       "stride=2, padding=1, with_bias=False, "
+                       "weight_regulariser=l2(strength=0.0001))")
+    d = DepthwiseConvLayer("dw", filter_block_shape=(64, 3, 3), stride=1,
+                           padding=1, with_bias=False)
+    assert repr(d) == ("DepthwiseConvLayer(dw, filter_block_shape=(64, 3, 3), "
+                       "stride=1, padding=1, with_bias=False, "
+                       "weight_regulariser=None)")
+    p = PointwiseConvLayer("pw", filter_block_shape=(64, 64), stride=2,
+                           with_bias=False)
+    assert repr(p) == ("PointwiseConvLayer(pw, filter_block_shape=(64, 64), "
+                       "stride=2, with_bias=False, weight_regulariser=None, "
+                       "is_on_gpu=False)")
+    b = BatchNormLayer("bn", input_dimension=4, incoming_chans=64)
+    assert repr(b) == ("BatchNormLayer(bn, input_dimension=4, "
+                       "incoming_chans=64, run_momentum=0.95)")
+    assert repr(ReLu("r")) == "ReLu(r)"
+    assert repr(GlobalAveragePoolingLayer("g")) == "GlobalAveragePoolingLayer(g)"
+    assert repr(SoftmaxWithCrossEntropy("s")) == "SoftmaxWithCrossEntropy(s)"
+    dn = DenseLayer("d1", incoming_chans=512, output_dim=120,
+                    weight_regulariser=l2(0.0001))
+    assert repr(dn) == ("DenseLayer(d1, incoming_chans=512, output_dim=120, "
+                        "weight_regulariser=l2(strength=0.0001))")

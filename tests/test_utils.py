@@ -78,3 +78,15 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     la, _ = tr.step(X, one_hot)
     lb, _ = tr2.step(X, one_hot)
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+    from dorknet_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "tr")) as d:
+        x = jnp.ones((64, 64))
+        (x @ x).block_until_ready()
+    import os
+    found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert found, "no trace files written"
