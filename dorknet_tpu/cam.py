@@ -16,9 +16,6 @@ import jax.numpy as jnp
 
 from dorknet_tpu.layers.base import to_nhwc
 
-_cam_cache = {}
-
-
 def _build_cam_fn(net, top_k, terminal_layer_name, out_size):
     def fn(params, states, X):
         x = to_nhwc(X)
@@ -55,11 +52,20 @@ def compute_cam_scores(net, X, top_k=3, terminal_layer_name="res8", out_size=225
     """Returns (scores (num_classes,), cams (top_k, out_size, out_size)) for a
     single image batch X of shape (1, 3, H, W). cams are relu'd and min-max
     normalised to [0, 1], ordered by descending class score."""
-    key = (id(net), net._version, top_k, terminal_layer_name, out_size,
+    # cache lives ON the network (bounded by its lifetime) and is pruned on
+    # structure/BN-state changes, so dropped networks and stale traces are
+    # collectable.
+    key = (net._version, top_k, terminal_layer_name, out_size,
            tuple(l._trace_signature() for l in net.layers))
-    if key not in _cam_cache:
-        _cam_cache[key] = _build_cam_fn(net, top_k, terminal_layer_name, out_size)
-    fn = _cam_cache[key]
+    cache = getattr(net, "_cam_cache", None)
+    if cache is None:
+        cache = net._cam_cache = {}
+    stale = [k for k in cache if k[0] != net._version]
+    for k in stale:
+        del cache[k]
+    if key not in cache:
+        cache[key] = _build_cam_fn(net, top_k, terminal_layer_name, out_size)
+    fn = cache[key]
     scores, top, cam = fn(net.gather_params(), net.gather_states(),
                           jnp.asarray(X, jnp.float32))
     return scores, cam

@@ -10,10 +10,12 @@ itself dissolves into the fused XLA graph."""
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class ReLu(Layer):
     def __init__(self, layer_name):
         super().__init__(layer_name)
@@ -31,6 +33,7 @@ class ReLu(Layer):
         pass
 
 
+@register_layer
 class ReLu6(Layer):
     """min(max(x, 0), 6) — for the MobileNet-V2 stretch zoo (not in the
     reference, which is plain-ReLU only)."""
@@ -51,6 +54,7 @@ class ReLu6(Layer):
         pass
 
 
+@register_layer
 class IdentityLayer(Layer):
     """Pass-through — lets ResidualBlock model linear-join blocks (e.g.
     MobileNet-V2 inverted residuals, which add WITHOUT a post-skip

@@ -115,6 +115,11 @@ class Layer:
         participates in the per-layer jit cache key."""
         return ()
 
+    def bn_initialized(self):
+        """True unless the layer (or a nested child) carries batch-norm running
+        stats that haven't seen a first training batch yet."""
+        return True
+
     def _jit_for(self, key, fn):
         key = key + self._trace_signature()
         if key not in self._jit_cache:

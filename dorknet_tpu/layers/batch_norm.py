@@ -19,11 +19,13 @@ elementwise path dissolve into the jitted graph.
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.ops.norm import batch_norm_train, batch_norm_inference
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class BatchNormLayer(Layer):
     def __init__(self, layer_name, input_dimension=4,
                  incoming_chans=None, run_momentum=0.95, is_on_gpu=True):

@@ -10,11 +10,13 @@ one fused kernel)."""
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer, init_weights
 from dorknet_tpu.ops.conv import conv2d
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class ConvLayer(Layer):
     def __init__(self, layer_name, filter_block_shape=None, stride=1, padding=1,
                  with_bias=True, weight_regulariser=None, weight_initialiser="normal"):

@@ -7,11 +7,13 @@ identical."""
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer, init_weights
 from dorknet_tpu.ops.conv import dense
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class DenseLayer(Layer):
     def __init__(self, layer_name, incoming_chans=None, output_dim=None, with_bias=True,
                  weight_regulariser=None, weight_initialiser="normal"):

@@ -10,11 +10,13 @@ CUDA, layers/depthwise_convolution.py:104-140) become one grouped XLA conv with
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer, init_weights
 from dorknet_tpu.ops.conv import depthwise_conv2d
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class DepthwiseConvLayer(Layer):
     def __init__(self, layer_name, filter_block_shape=None,
                  stride=1, padding=1, with_bias=True,

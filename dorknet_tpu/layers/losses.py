@@ -12,11 +12,13 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.ops.loss import softmax_probs, softmax_cross_entropy
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class SoftmaxWithCrossEntropy(Layer):
     def __init__(self, layer_name):
         super().__init__(layer_name)

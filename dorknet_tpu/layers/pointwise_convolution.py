@@ -9,11 +9,13 @@ stride-attr-absent fallback on load, reference :115-119)."""
 import numpy as np
 import jax.numpy as jnp
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer, init_weights
 from dorknet_tpu.ops.conv import pointwise_conv2d
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class PointwiseConvLayer(Layer):
     def __init__(self, layer_name, stride=1, filter_block_shape=None, with_bias=True,
                  weight_regulariser=None, weight_initialiser="normal"):

@@ -9,11 +9,13 @@ We keep its constructor signature (input_shape positional arg accepted and
 unused, as there) while fixing those defects: proper base init, h5 io, and
 registration in the load dispatch (see network/feed_forward_network.py here)."""
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer
 from dorknet_tpu.ops.pool import max_pool, global_avg_pool
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class GlobalAveragePoolingLayer(Layer):
     """Mean over spatial dims: (N,C,H,W) -> (N,C); backward broadcasts 1/(H*W)
     (reference: layers/pooling.py:29-36) — autodiff reproduces it."""
@@ -34,6 +36,7 @@ class GlobalAveragePoolingLayer(Layer):
         pass
 
 
+@register_layer
 class MaxPoolLayer(Layer):
     def __init__(self, layer_name, input_shape=None, stride=2):
         """Only does square pooling regions (window size == stride)."""

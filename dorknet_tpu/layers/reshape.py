@@ -4,10 +4,12 @@ The reference's ReshapeLayer (layers/reshape.py) is broken (a ``super.__init__``
 typo) and unused; provided here in working form for API completeness. Reshapes
 are expressed over the public NCHW layout."""
 
+from dorknet_tpu.layers.registry import register_layer
 from dorknet_tpu.layers.base import Layer, to_nchw, to_nhwc
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class ReshapeLayer(Layer):
     def __init__(self, layer_name, new_shape=None):
         super().__init__(layer_name)

@@ -13,15 +13,12 @@ accountings: ``reg_loss`` (reported, reference accounting) and ``reg_loss_full``
 (every regulariser, what the applied gradient must contain). The network engine
 differentiates the full sum but reports the reference sum."""
 
+from dorknet_tpu.layers.registry import register_layer, get_layer_class
 from dorknet_tpu.layers.base import Layer
-from dorknet_tpu.layers.convolution import ConvLayer
-from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
-from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
-from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
-from dorknet_tpu.layers.batch_norm import BatchNormLayer
 from dorknet_tpu.utils import h5io
 
 
+@register_layer
 class ResidualBlock(Layer):
     def __init__(self, layer_name, layer_list=None, skip_projection=None,
                  post_skip_activation=None):
@@ -54,6 +51,11 @@ class ResidualBlock(Layer):
     # -- functional protocol ------------------------------------------------ #
     def _trace_signature(self):
         return tuple(c._trace_signature() for c in self._children())
+
+    def bn_initialized(self):
+        """False when ANY nested batch-norm is pre-first-step (see
+        Layer.bn_initialized) — multi_step/accumulate_step guard on this."""
+        return all(c.bn_initialized() for c in self._children())
 
     def get_params(self):
         return {
@@ -156,33 +158,16 @@ class ResidualBlock(Layer):
         info = open_f[self.layer_name + "/layer_info"].attrs
         layer_type_list = info["layer_type_list"]
         layer_name_list = info["layer_name_list"]
-        dispatch = {
-            "ConvLayer": ConvLayer,
-            "ReLu6": ReLu6,
-            "IdentityLayer": IdentityLayer,
-            "BatchNormLayer": BatchNormLayer,
-            "ReLu": ReLu,
-            "DepthwiseConvLayer": DepthwiseConvLayer,
-            "PointwiseConvLayer": PointwiseConvLayer,
-            "ResidualBlock": ResidualBlock,
-        }
         for l_type, layer_name in zip(layer_type_list, layer_name_list):
-            self.layer_list.append(dispatch[l_type](layer_name))
+            self.layer_list.append(get_layer_class(l_type)(layer_name))
         for l in self.layer_list:
             l.load_from_h5(open_f, load_grads=load_grads)
         if info.get("skip_projection_type", None):
             skip_type = info["skip_projection_type"]
             skip_name = info["skip_projection_name"]
-            if skip_type == "PointwiseConvLayer":
-                self.skip_projection = PointwiseConvLayer(skip_name)
-                self.skip_projection.load_from_h5(open_f, load_grads=load_grads)
-            else:
-                print("ResidualBlock: Unrecognised skip_projection type {}".format(skip_type))
+            self.skip_projection = get_layer_class(skip_type)(skip_name)
+            self.skip_projection.load_from_h5(open_f, load_grads=load_grads)
         act_type = info["post_skip_activation_type"]
         act_name = info["post_skip_activation_name"]
-        act_dispatch = {"ReLu": ReLu, "ReLu6": ReLu6, "IdentityLayer": IdentityLayer}
-        if act_type in act_dispatch:
-            self.post_skip_activation = act_dispatch[act_type](act_name)
-            self.post_skip_activation.load_from_h5(open_f, load_grads=load_grads)
-        else:
-            print("ResidualBlock: Unrecognised post_skip_activation type {}".format(act_type))
+        self.post_skip_activation = get_layer_class(act_type)(act_name)
+        self.post_skip_activation.load_from_h5(open_f, load_grads=load_grads)

@@ -19,32 +19,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import dorknet_tpu.layers  # noqa: F401 — populates the layer registry
 from dorknet_tpu.layers.base import to_nhwc, to_nchw
-from dorknet_tpu.layers.dense_layer import DenseLayer
-from dorknet_tpu.layers.convolution import ConvLayer
-from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
-from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
-from dorknet_tpu.layers.residual_block import ResidualBlock
-from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
-from dorknet_tpu.layers.pooling import GlobalAveragePoolingLayer, MaxPoolLayer
-from dorknet_tpu.layers.reshape import ReshapeLayer
-from dorknet_tpu.layers.batch_norm import BatchNormLayer
 from dorknet_tpu.layers.losses import SoftmaxWithCrossEntropy
-
-_LAYER_DISPATCH = {
-    "ConvLayer": ConvLayer,
-    "BatchNormLayer": BatchNormLayer,
-    "ReLu": ReLu,
-    "ReLu6": ReLu6,
-    "IdentityLayer": IdentityLayer,
-    "DepthwiseConvLayer": DepthwiseConvLayer,
-    "PointwiseConvLayer": PointwiseConvLayer,
-    "GlobalAveragePoolingLayer": GlobalAveragePoolingLayer,
-    "MaxPoolLayer": MaxPoolLayer,
-    "ReshapeLayer": ReshapeLayer,
-    "DenseLayer": DenseLayer,
-    "ResidualBlock": ResidualBlock,
-}
+from dorknet_tpu.layers.registry import get_layer_class
 
 
 class FeedForwardNetwork:
@@ -272,7 +250,7 @@ class FeedForwardNetwork:
                     l.load_from_h5(f)
                     self.loss_layer = l
                     continue
-                l = _LAYER_DISPATCH[l_type](layer_name)
+                l = get_layer_class(l_type)(layer_name)
                 l.load_from_h5(f)
                 self.layers.append(l)
         self._version += 1

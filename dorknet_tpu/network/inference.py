@@ -53,14 +53,29 @@ class InferenceRunner:
         """Top-1 class ids, (N,) int."""
         return self.predict_probs(X).argmax(axis=1)
 
+    def _pad_to_batch(self, X):
+        n = X.shape[0]
+        if n == self.batch_size:
+            return X, 0
+        pad = self.batch_size - n
+        return np.concatenate(
+            [X, np.zeros((pad,) + X.shape[1:], np.float32)]), pad
+
     def predict_iter(self, batches):
         """Stream (X, ...) batches (e.g. a loader's pull_batch); yields
-        (probs, *rest) per batch, pipelining the host→device transfer."""
+        (probs, *rest) per batch, pipelining the host→device transfer. Ragged
+        batches are padded to the compiled shape (no recompiles)."""
         from dorknet_tpu.data_loading.prefetch import device_prefetch
 
-        for batch in device_prefetch(
-                ((np.asarray(b[0], np.float32),) + tuple(b[1:]) for b in batches),
-                size=2, sharding=self.batch_sharding):
-            X = batch[0]
-            probs = self._fn(self._params, self._states, X)
-            yield (np.asarray(probs),) + tuple(batch[1:])
+        def padded():
+            for b in batches:
+                X, pad = self._pad_to_batch(np.asarray(b[0], np.float32))
+                yield (X, pad) + tuple(b[1:])
+
+        for batch in device_prefetch(padded(), size=2,
+                                     sharding=self.batch_sharding):
+            X, pad = batch[0], batch[1]
+            probs = np.asarray(self._fn(self._params, self._states, X))
+            if pad:
+                probs = probs[:-pad]
+            yield (probs,) + tuple(batch[2:])

@@ -160,12 +160,14 @@ class Trainer:
         """One optimiser update from the averaged gradients of K micro-batches
         (X_stack: (K, B, C, H, W)). Returns the mean reported loss."""
         network = self.network
-        if any(getattr(l, "bn_initialized", lambda: True)() is False
-               for l in network.layers):
+        if not all(l.bn_initialized() for l in network.layers):
             # initialise BN running stats WITHOUT an optimiser update (a plain
             # training-mode forward writes them), so micro-batch 0 is not
-            # double-counted
-            network.forward(X_stack[0], y_stack[0])
+            # double-counted. network.forward expects NCHW.
+            X0 = X_stack[0]
+            if self.input_layout == "NHWC":
+                X0 = jnp.transpose(jnp.asarray(X0), (0, 3, 1, 2))
+            network.forward(X0, y_stack[0])
             network._pending_grads = None
         params = network.gather_params()
         states = network.gather_states()
@@ -220,8 +222,7 @@ class Trainer:
         adoption is a different trace) — if they aren't, the first slice runs
         as a regular step."""
         network = self.network
-        if any(getattr(l, "bn_initialized", lambda: True)() is False
-               for l in network.layers):
+        if not all(l.bn_initialized() for l in network.layers):
             first_loss, first_preds = self.step(X_stack[0], y_stack[0])
             if X_stack.shape[0] == 1:
                 return jnp.stack([first_loss]), jnp.stack([first_preds])

@@ -81,12 +81,14 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     C = w_cfhfw.shape[0]
     if (use_pallas() and stride == 1 and padding == 1
             and w_cfhfw.shape[1:] == (3, 3)
+            and (C <= 512 or C % 256 == 0)  # kernel channel-blocking precondition
+            and get_compute_dtype() == jnp.float32  # kernel is fp32-only
             and jax.default_backend() == "tpu"):
         from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
 
         y = depthwise3x3(x, w_cfhfw)
         if b is not None:
-            y = y + b.reshape(1, 1, 1, -1)
+            y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
         return y
     w = jnp.transpose(w_cfhfw, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C) HWIO, groups=C
     y = lax.conv_general_dilated(

@@ -30,16 +30,19 @@ def save_checkpoint(path, network, trainer=None):
 
 def load_checkpoint(path, network, trainer=None):
     """Restore into an already-constructed network (the structure carrier),
-    mirroring the reference's build-empty-then-load flow."""
+    mirroring the reference's build-empty-then-load flow.
+
+    Restores WITHOUT a structural target so a checkpoint that carries an
+    optimiser cache loads into a fresh (cache-less) trainer and vice versa —
+    whatever subset of {params, states, opt_cache} is on disk is applied."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    target = _state_tree(network, trainer)
-    restored = ckptr.restore(path, target)
+    restored = ckptr.restore(path)
     for l, p in zip(network.layers, restored["params"]):
         l.set_params(p)
     network.scatter_states(restored["states"])
-    if trainer is not None and "opt_cache" in restored:
+    if trainer is not None and restored.get("opt_cache") is not None:
         trainer._cache = restored["opt_cache"]
     return network

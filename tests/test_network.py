@@ -273,3 +273,36 @@ def test_trainer_nhwc_input_layout():
         la, _ = tr_a.step(X, one_hot)
         lb, _ = tr_b.step(X_nhwc, one_hot)
         np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+def test_multi_step_nested_bn_guard():
+    """Regression: BN layers nested inside ResidualBlocks must trigger the
+    first-step fallback of multi_step (previously only top-level BNs did,
+    silently adopting batch stats for all K scanned steps)."""
+    np.random.seed(71)
+    net = FeedForwardNetwork("nested-bn")
+    inner = [
+        PointwiseConvLayer("pw", filter_block_shape=(8, 3), with_bias=False),
+        BatchNormLayer("pw_bn", incoming_chans=8),
+    ]
+    skip = PointwiseConvLayer("skip", filter_block_shape=(8, 3), with_bias=False)
+    net.add_layer(ResidualBlock("res", layer_list=inner, skip_projection=skip,
+                                post_skip_activation=ReLu("relu")))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+    assert not net.layers[0].bn_initialized()
+
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    X = np.random.randn(2, 6, 3, 5, 5).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[np.random.randint(0, 4, (2, 6))]
+    losses, _ = tr.multi_step(X, y)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # after step 1 the nested BN must be EMA-updating, not re-adopting:
+    bn = net.layers[0].layer_list[1]
+    rm1 = np.asarray(bn.non_learned_params["running_mean"]).copy()
+    tr.step(X[0], y[0])
+    rm2 = np.asarray(bn.non_learned_params["running_mean"])
+    assert not np.allclose(rm1, rm2)
+    assert bn.bn_initialized() and net.layers[0].bn_initialized()

@@ -90,3 +90,37 @@ def test_profiler_trace_writes(tmp_path):
     import os
     found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert found, "no trace files written"
+
+
+def test_orbax_checkpoint_cross_trainer_restore(tmp_path):
+    """Regression: a checkpoint saved WITH an optimiser cache must restore into
+    a fresh (cache-less) trainer, and a network-only checkpoint into a warmed
+    trainer (previously raised orbax structure-mismatch ValueError)."""
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.utils.orbax_io import save_checkpoint, load_checkpoint
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=61)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    tr.step(X, one_hot)
+    p1 = str(tmp_path / "with_cache")
+    save_checkpoint(p1, net, tr)
+
+    net2 = small_net(seed=62)
+    tr2 = Trainer(net2, SGDMomentum(net2, 0.05, 0.9))  # fresh, _cache=None
+    load_checkpoint(p1, net2, tr2)
+    assert tr2._cache is not None
+    la, _ = tr.step(X, one_hot)
+    lb, _ = tr2.step(X, one_hot)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+    # network-only checkpoint into a warmed trainer
+    net3 = small_net(seed=63)
+    p2 = str(tmp_path / "net_only")
+    save_checkpoint(p2, net3)
+    net4 = small_net(seed=64)
+    tr4 = Trainer(net4, SGDMomentum(net4, 0.05, 0.9))
+    tr4.step(X, one_hot)
+    load_checkpoint(p2, net4, tr4)  # must not raise
