@@ -22,6 +22,16 @@ import time
 import numpy as np
 import jax
 
+# Persistent compilation cache: repeated bench runs (and the driver's run)
+# reuse compiled executables instead of re-paying 30-60 s compiles through the
+# (often degraded) TPU tunnel.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
