@@ -124,3 +124,19 @@ def test_orbax_checkpoint_cross_trainer_restore(tmp_path):
     tr4 = Trainer(net4, SGDMomentum(net4, 0.05, 0.9))
     tr4.step(X, one_hot)
     load_checkpoint(p2, net4, tr4)  # must not raise
+
+
+def test_model_summary_resnet18():
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.utils.model_summary import summarize
+
+    np.random.seed(0)
+    net = ResNet18("s", num_classes=120)
+    res = summarize(net, (1, 3, 225, 225), print_table=False)
+    # hand-checked magnitudes: ~0.5-0.8 GFLOP fwd/img, ~1-2M params
+    assert 0.3e9 < res["forward_flops"] < 1.2e9, res["forward_flops"]
+    assert 0.5e6 < res["total_params"] < 4e6, res["total_params"]
+    assert res["train_flops_estimate"] == 3 * res["forward_flops"]
+    assert res["activation_bytes_fp32"] > 1e6
+    # per-layer rows include nested residual children (indented)
+    assert any(r[0].startswith("  ") for r in res["rows"])
