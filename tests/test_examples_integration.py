@@ -167,3 +167,11 @@ def test_synthetic_cam_demo(tmp_path):
     import cv2
     im = cv2.imread(str(files[0]))
     assert im is not None and im.shape == (64, 64, 3)
+
+
+def test_graft_dryrun_multichip_8_devices():
+    """The driver's multichip contract, in-suite (conftest provides 8 virtual
+    CPU devices): full flagship train step over a dp x tp mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
