@@ -24,8 +24,11 @@ def random_crop(key, im, out_hw):
     H, W, C = im.shape
     oh, ow = out_hw
     kr, kc = jax.random.split(key)
-    r = jax.random.randint(kr, (), 0, H - oh)
-    c = jax.random.randint(kc, (), 0, W - ow)
+    # max(...,1): degenerate precrop==crop yields offset 0 instead of an
+    # invalid randint range (the reference would crash the same way,
+    # image_preprocessor.py:21-22 randint(0, 0))
+    r = jax.random.randint(kr, (), 0, max(H - oh, 1))
+    c = jax.random.randint(kc, (), 0, max(W - ow, 1))
     return jax.lax.dynamic_slice(im, (r, c, 0), (oh, ow, C))
 
 
