@@ -23,6 +23,10 @@ USE_FUSED_STEP = True
 
 
 def main():
+    import os
+    if not os.path.isdir("MNIST_data"):
+        raise SystemExit("MNIST_data/ not found — run scripts/download_MNIST.sh "
+                         "(or scripts/MNISTprepper.py on existing idx files).")
     X_train, y_train, X_val, y_val, X_test, y_test = get_MNIST_data(
         num_training=50000, num_validation=10000, num_test=10000)
     network = MNISTNet("MNISTDemo")

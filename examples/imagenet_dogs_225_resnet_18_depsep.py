@@ -37,7 +37,16 @@ ON_DEVICE_AUGMENT = False
 AUG_CFG = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5)
 
+def _require_dataset(path):
+    if not os.path.isdir(path):
+        raise SystemExit(
+            "Dataset not found: {}\nExpected the ImageNet-dogs layout "
+            "<class>/images/* (set DORKNET_DATA or edit data_folder). "
+            "See scripts/make_class_name_map.py for the class map.".format(path))
+
+
 if __name__ == "__main__":
+    _require_dataset(os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"))
     if ON_DEVICE_AUGMENT:
         # host: decode + precrop-resize only; crop/HSV/rot/flip/mixup run as
         # one jitted program on the TPU (device_augment.train_pipeline)
