@@ -254,3 +254,18 @@ def test_on_device_augment_full_path(image_dir):
             assert np.isfinite(float(loss))
     finally:
         loader.stop_thread()
+
+
+def test_device_augment_key_determinism():
+    import jax
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (4, 40, 40, 3)).astype(np.float32))
+    oh = jnp.asarray(np.eye(3, dtype=np.float32)[rng.randint(0, 3, 4)])
+    kw = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+              rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+              crop_mode="random", mixup=(0.0, 0.3))
+    a1 = da.train_pipeline(jax.random.PRNGKey(7), imgs, oh, (32, 32), **kw)
+    a2 = da.train_pipeline(jax.random.PRNGKey(7), imgs, oh, (32, 32), **kw)
+    b = da.train_pipeline(jax.random.PRNGKey(8), imgs, oh, (32, 32), **kw)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    assert not np.array_equal(np.asarray(a1[0]), np.asarray(b[0]))

@@ -306,3 +306,20 @@ def test_multi_step_nested_bn_guard():
     rm2 = np.asarray(bn.non_learned_params["running_mean"])
     assert not np.allclose(rm1, rm2)
     assert bn.bn_initialized() and net.layers[0].bn_initialized()
+
+
+def test_seeded_training_is_deterministic():
+    """Same seed -> bit-identical params and loss trajectory (host-side init via
+    np.random, device compute deterministic under jit)."""
+    X, y, one_hot = toy_batch(B=8)
+
+    def run():
+        net = small_net(seed=77)
+        tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+        losses = [float(tr.step(X, one_hot)[0]) for _ in range(4)]
+        return losses, np.asarray(net.layers[0].learned_params["weights"])
+
+    l1, w1 = run()
+    l2_, w2 = run()
+    assert l1 == l2_
+    np.testing.assert_array_equal(w1, w2)
