@@ -140,3 +140,54 @@ def test_model_summary_resnet18():
     assert res["activation_bytes_fp32"] > 1e6
     # per-layer rows include nested residual children (indented)
     assert any(r[0].startswith("  ") for r in res["rows"])
+
+
+def test_fold_batch_norms_inference_equivalence():
+    """Folded network must produce (numerically) identical test-mode outputs
+    with all BatchNorm layers gone."""
+    from tests.test_network import toy_batch
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.layers import (ConvLayer, DepthwiseConvLayer,
+                                    PointwiseConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy, ResidualBlock)
+    from dorknet_tpu.utils.fold_bn import fold_batch_norms
+
+    np.random.seed(91)
+    net = FeedForwardNetwork("foldme")
+    net.add_layer(ConvLayer("c0", filter_block_shape=(8, 3, 3, 3),
+                            with_bias=False))
+    net.add_layer(BatchNormLayer("bn0", incoming_chans=8))
+    net.add_layer(ReLu("r0"))
+    inner = [
+        DepthwiseConvLayer("dw", filter_block_shape=(8, 3, 3), with_bias=False),
+        BatchNormLayer("dw_bn", incoming_chans=8),
+        PointwiseConvLayer("pw", filter_block_shape=(8, 8), with_bias=True),
+        BatchNormLayer("pw_bn", incoming_chans=8),
+    ]
+    net.add_layer(ResidualBlock("res", layer_list=inner, skip_projection=None,
+                                post_skip_activation=ReLu("res_r")))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+
+    X, _, one_hot4 = toy_batch(B=8, n_classes=4)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    for _ in range(3):
+        tr.step(X, one_hot4)
+
+    folded = fold_batch_norms(net)
+    # all BNs gone (top level and nested)
+    types = [type(l).__name__ for l in folded.layers]
+    assert "BatchNormLayer" not in types
+    res_types = [type(l).__name__ for l in folded.layers[2].layer_list]
+    assert "BatchNormLayer" not in res_types
+    assert len(folded.layers) == len(net.layers) - 1  # bn0 folded into c0
+
+    _, p_ref = net.forward(X, None, test_mode=True)
+    _, p_fold = folded.forward(X, None, test_mode=True)
+    np.testing.assert_allclose(np.asarray(p_fold), np.asarray(p_ref),
+                               rtol=1e-4, atol=1e-5)
+    # original untouched
+    assert type(net.layers[1]).__name__ == "BatchNormLayer"
