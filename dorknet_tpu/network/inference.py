@@ -14,7 +14,13 @@ import jax.numpy as jnp
 
 
 class InferenceRunner:
-    def __init__(self, network, batch_size, batch_sharding=None):
+    def __init__(self, network, batch_size, batch_sharding=None, fold_bn=False):
+        """fold_bn=True serves a BN-folded copy of the network (conv→BN pairs
+        collapsed — utils/fold_bn) for one fewer activation pass per BN."""
+        if fold_bn:
+            from dorknet_tpu.utils.fold_bn import fold_batch_norms
+
+            network = fold_batch_norms(network)
         self.network = network
         self.batch_size = int(batch_size)
         self.batch_sharding = batch_sharding

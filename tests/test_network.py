@@ -323,3 +323,17 @@ def test_seeded_training_is_deterministic():
     l2_, w2 = run()
     assert l1 == l2_
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_inference_runner_fold_bn():
+    from dorknet_tpu.network import InferenceRunner
+
+    net = small_net(seed=81)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    X, y, one_hot = toy_batch(B=8)
+    for _ in range(2):
+        tr.step(X, one_hot)
+    plain = InferenceRunner(net, batch_size=8)
+    folded = InferenceRunner(net, batch_size=8, fold_bn=True)
+    np.testing.assert_allclose(folded.predict_probs(X), plain.predict_probs(X),
+                               rtol=1e-4, atol=1e-5)
