@@ -61,16 +61,20 @@ class FeedForwardNetwork:
     # ------------------------------------------------------------------ #
     # Pure step functions (composed & traced once per (mode, structure))
     # ------------------------------------------------------------------ #
-    def _run_layers(self, params, states, x, train, terminal_layer_name=None):
+    def _run_layers(self, params, states, x, train, terminal_layer_name=None,
+                    layer_wrap=None):
         """Compose every layer's fapply. Returns (x_out, new_states, reported_reg,
-        full_reg, tapped) where tapped is the terminal tap output (NHWC) or None."""
+        full_reg, tapped) where tapped is the terminal tap output (NHWC) or None.
+        layer_wrap(layer, fapply) may return a transformed apply (e.g.
+        jax.checkpoint for per-block rematerialisation)."""
         new_states = []
         reported_reg = 0.0
         full_reg = 0.0
         tapped = None
         for i, l in enumerate(self.layers):
             if tapped is None:
-                x, s = l.fapply(params[i], states[i], x, train)
+                apply = l.fapply if layer_wrap is None else layer_wrap(l, l.fapply)
+                x, s = apply(params[i], states[i], x, train)
                 if train:
                     reported_reg = reported_reg + l.reg_loss(params[i])
                     full_reg = full_reg + l.reg_loss_full(params[i])

@@ -22,10 +22,10 @@ from dorknet_tpu.layers.base import to_nhwc
 class Trainer:
     def __init__(self, network, optimiser, batch_sharding=None, param_sharding=None,
                  remat=False, input_layout="NCHW"):
-        """remat=True wraps the forward composition in ``jax.checkpoint``:
-        activations are rematerialised during the backward pass instead of
-        stored — trades ~1 extra forward of FLOPs for a large cut in HBM
-        footprint, unlocking bigger batches on one chip.
+        """remat=True wraps the WHOLE forward in ``jax.checkpoint`` (max memory
+        saving, ~1 extra forward of FLOPs); remat="blocks" checkpoints each
+        ResidualBlock individually — a finer FLOP/memory trade (block inputs
+        are kept, only intra-block activations are recomputed).
 
         input_layout="NHWC" accepts batches already in the internal layout
         (e.g. straight from device_augment) and skips the NCHW→NHWC transpose."""
@@ -51,12 +51,19 @@ class Trainer:
         rematerialised."""
         network = self.network
 
+        layer_wrap = None
+        if self.remat == "blocks":
+            def layer_wrap(l, apply):
+                if type(l).__name__ == "ResidualBlock":
+                    return jax.checkpoint(apply, static_argnums=(3,))
+                return apply
+
         def fwd(p, x):
             out, new_states, reported_reg, full_reg, _ = network._run_layers(
-                p, states, x, train=True)
+                p, states, x, train=True, layer_wrap=layer_wrap)
             return out, (new_states, reported_reg, full_reg)
 
-        if self.remat:
+        if self.remat is True:
             fwd = jax.checkpoint(fwd)
         out, (new_states, reported_reg, full_reg) = fwd(params, self._to_internal(X))
         data_loss, probs = network.loss_layer.fapply_loss(out, y_one_hot)

@@ -337,3 +337,42 @@ def test_inference_runner_fold_bn():
     folded = InferenceRunner(net, batch_size=8, fold_bn=True)
     np.testing.assert_allclose(folded.predict_probs(X), plain.predict_probs(X),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_remat_blocks_matches_plain():
+    np.random.seed(3)
+
+    def build():
+        np.random.seed(3)
+        net = FeedForwardNetwork("rb")
+        inner = [PointwiseConvLayer("pw", filter_block_shape=(8, 3), with_bias=False),
+                 BatchNormLayer("bn", incoming_chans=8)]
+        net.add_layer(ResidualBlock("res", layer_list=inner, skip_projection=None,
+                                    post_skip_activation=ReLu("r")))
+        net.add_layer(GlobalAveragePoolingLayer("g"))
+        net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=4))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+        return net
+
+    # identity skip requires in==out channels: feed 8-channel input? pw maps 3->8,
+    # so skip is shape-mismatched — use a projectionless block on 8 channels.
+    X = np.random.RandomState(1).randn(6, 3, 5, 5).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)[np.random.RandomState(2).randint(0, 4, 6)]
+
+    net_a = build()
+    net_b = build()
+    # fix the block: identity skip with 3->8 is invalid, so swap to a projection
+    for net in (net_a, net_b):
+        res = net.layers[0]
+        res.skip_projection = PointwiseConvLayer("skip", filter_block_shape=(8, 3),
+                                                 with_bias=False)
+    # copy (not alias) so net_a's donated buffers don't invalidate net_b's
+    net_b.layers[0].skip_projection.learned_params["weights"] = jnp.asarray(
+        np.array(net_a.layers[0].skip_projection.learned_params["weights"]))
+
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9), remat="blocks")
+    for _ in range(3):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
