@@ -47,6 +47,21 @@ def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
 
     if compute_dtype is not None:
         dorknet_tpu.set_compute_dtype(compute_dtype)
+    try:
+        return _bench_train_inner(batch_size, steps, trials, image, classes,
+                                  deadline, model)
+    finally:
+        if compute_dtype is not None:
+            dorknet_tpu.set_compute_dtype(jnp.float32)
+
+
+def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, model):
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import ResNet18, MobileNetV2, ResNet50
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
     np.random.seed(0)
     if model == "mobilenet_v2":
         net = MobileNetV2("bench-mnv2", num_classes=classes)
@@ -80,8 +95,6 @@ def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
             break
     ips = batch_size / best
     log(f"train {model} b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
-    if compute_dtype is not None:
-        dorknet_tpu.set_compute_dtype(jnp.float32)
     return ips
 
 
@@ -258,6 +271,8 @@ def main():
         "unit": "images/sec",
         "vs_baseline": None,
     }))
+    if best <= 0:
+        sys.exit(1)  # no config measured — signal a broken run, not 0 img/s
 
 
 if __name__ == "__main__":

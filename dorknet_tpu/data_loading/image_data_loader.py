@@ -169,8 +169,12 @@ class ImageDataLoader:
             if self.use_native_loader:
                 from dorknet_tpu.native import decode_batch_hwc
 
-                out, _ = decode_batch_hwc(X_batch_list, precrop,
-                                          num_workers_hint(self.num_workers))
+                out, ok = decode_batch_hwc(X_batch_list, precrop,
+                                           num_workers_hint(self.num_workers))
+                if ok < len(X_batch_list):
+                    print("ImageDataLoader: {} of {} images failed to decode "
+                          "(zero-filled)".format(len(X_batch_list) - ok,
+                                                 len(X_batch_list)))
                 return out
             import cv2
 
@@ -185,9 +189,13 @@ class ImageDataLoader:
             crop = (pp.image_size[1], pp.image_size[0])
             precrop = (pp.precrop_size[1], pp.precrop_size[0])
             mode = pp.crop_mode if pp.crop_mode in ("center", "random") else "resize"
-            out, _ = decode_batch(X_batch_list, precrop, crop, mode,
-                                  num_workers_hint(self.num_workers),
-                                  seed=np.random.randint(0, 2 ** 31))
+            out, ok = decode_batch(X_batch_list, precrop, crop, mode,
+                                   num_workers_hint(self.num_workers),
+                                   seed=np.random.randint(0, 2 ** 31))
+            if ok < len(X_batch_list):
+                print("ImageDataLoader: {} of {} images failed to decode "
+                      "(zero-filled)".format(len(X_batch_list) - ok,
+                                             len(X_batch_list)))
             return out
         return np.stack(pool.map(self.preprocessor.load_image, X_batch_list), axis=0)
 

@@ -120,19 +120,25 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out) {
   png_set_strip_16(png);
   png_set_strip_alpha(png);
   png_set_gray_to_rgb(png);
+  png_set_interlace_handling(png);  // Adam7-interlaced PNGs decode correctly
   png_read_update_info(png, info);
   out->h = png_get_image_height(png, info);
   out->w = png_get_image_width(png, info);
   out->c = 3;
+  // read the whole image (interlace passes need full-image row pointers)
+  std::vector<uint8_t> rgb(size_t(out->h) * png_get_rowbytes(png, info));
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = rgb.data() + size_t(y) * png_get_rowbytes(png, info);
+  png_read_image(png, rows.data());
   out->data.resize(size_t(out->h) * out->w * 3);
-  std::vector<uint8_t> row(png_get_rowbytes(png, info));
   for (int y = 0; y < out->h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    const uint8_t* src = rows[y];
     uint8_t* dst = out->data.data() + size_t(y) * out->w * 3;
     for (int x = 0; x < out->w; ++x) {  // RGB → BGR
-      dst[3 * x + 0] = row[3 * x + 2];
-      dst[3 * x + 1] = row[3 * x + 1];
-      dst[3 * x + 2] = row[3 * x + 0];
+      dst[3 * x + 0] = src[3 * x + 2];
+      dst[3 * x + 1] = src[3 * x + 1];
+      dst[3 * x + 2] = src[3 * x + 0];
     }
   }
   png_destroy_read_struct(&png, &info, nullptr);
@@ -198,8 +204,6 @@ void resize_bilinear(const Image& src, int out_h, int out_w, Image* dst) {
     }
   }
 }
-
-thread_local std::mt19937 g_rng{std::random_device{}()};
 
 }  // namespace
 
@@ -418,7 +422,8 @@ int dk_pool_submit(void* pool, const char** paths, int n, int precrop_h,
   return id;
 }
 
-// 1 when the job's buffer is fully written; also reports decoded-ok count.
+// 1 when the job's buffer is fully written (the job is then released — a
+// second poll of the same id returns -1); also reports decoded-ok count.
 int dk_pool_poll(void* pool, int job_id, int* ok_count) {
   Pool* p = static_cast<Pool*>(pool);
   std::shared_ptr<Job> job;
@@ -426,9 +431,12 @@ int dk_pool_poll(void* pool, int job_id, int* ok_count) {
     std::lock_guard<std::mutex> lk(p->jobs_mu);
     if (job_id < 0 || job_id >= int(p->jobs.size())) return -1;
     job = p->jobs[job_id];
+    if (!job) return -1;  // already released
   }
   if (job->remaining.load() == 0) {
     if (ok_count) *ok_count = job->ok_count.load();
+    std::lock_guard<std::mutex> lk(p->jobs_mu);
+    p->jobs[job_id].reset();  // release paths/buffer refs — no unbounded growth
     return 1;
   }
   return 0;

@@ -116,3 +116,39 @@ def test_async_pool_bad_file_and_unknown_job(tmp_path, img_paths):
             pool.poll(999)
     finally:
         pool.close()
+
+
+def test_async_pool_released_after_poll(img_paths):
+    """Regression: completed jobs are released (no unbounded Pool::jobs growth);
+    polling a released id raises like an unknown id."""
+    from dorknet_tpu.native import AsyncDecodePool
+
+    pool = AsyncDecodePool(threads=1)
+    try:
+        j = pool.submit(img_paths[:2], (32, 32), (24, 24), "center")
+        batch, ok = pool.wait(j)
+        assert ok == 2
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            pool.poll(j)  # released
+    finally:
+        pool.close()
+
+
+def test_interlaced_png_decodes(tmp_path):
+    """Regression: Adam7-interlaced PNGs must decode identically to cv2."""
+    import cv2
+    from dorknet_tpu.native import decode_batch
+    from PIL import Image as PILImage
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+    p = str(tmp_path / "interlaced.png")
+    PILImage.fromarray(arr).save(p, interlace=True)
+    # sanity: PIL wrote an interlaced file readable by cv2
+    ref = cv2.imread(p)
+    assert ref is not None
+    out, ok = decode_batch([p], (40, 40), (40, 40), "resize")
+    assert ok == 1
+    got = out[0].transpose(1, 2, 0) + 128.0
+    np.testing.assert_allclose(got, ref.astype(np.float32), atol=1.0)
