@@ -102,40 +102,40 @@ class ResNet18(FeedForwardNetwork):
                                      skip_projection=skip_proj,
                                      post_skip_activation=ReLu(layer_name + "_relu2")))
 
+    # residual stage table: (out_channels, in_channels, downsample)
+    # spatial: 225 →(stem/2)→ 112 →(pw0/2)→ 56 → 56 → 28 → 28 → 14 → 14 → 7 → 7
+    _BLOCKS = [
+        (64, 64, False), (64, 64, False),
+        (128, 64, True), (128, 128, False),
+        (256, 128, True), (256, 256, False),
+        (512, 256, True), (512, 512, False),
+    ]
+
     def __init__(self, name, load_layers=True, num_classes=120, depthwise_sep=True):
         super().__init__(name)
-        if load_layers:
-            # Spatial (225, 225) --> (112, 112)
-            self.add_layer(ConvLayer("conv0", filter_block_shape=(64, 3, 5, 5),
-                                     with_bias=False, stride=2, padding=1,
-                                     weight_regulariser=l2(0.0001)))
-            self.add_layer(BatchNormLayer("conv0_bn", input_dimension=4,
-                                          incoming_chans=64))
-            self.add_layer(ReLu("conv0_relu"))
-            # Spatial (112, 112) --> (56, 56)
-            self.add_layer(PointwiseConvLayer("pw0", filter_block_shape=(64, 64),
-                                              with_bias=False, stride=2,
-                                              weight_regulariser=l2(0.0001)))
-            self.add_layer(BatchNormLayer("pw0_bn", input_dimension=4,
-                                          incoming_chans=64))
-            self.add_layer(ReLu("pw0_relu"))
-            self.add_res_block("res1", (64, 64, 3, 3), depthwise_sep=depthwise_sep)
-            self.add_res_block("res2", (64, 64, 3, 3), depthwise_sep=depthwise_sep)
-            self.add_res_block("res3", (128, 64, 3, 3), downsample=True,
-                               depthwise_sep=depthwise_sep)
-            self.add_res_block("res4", (128, 128, 3, 3), depthwise_sep=depthwise_sep)
-            self.add_res_block("res5", (256, 128, 3, 3), downsample=True,
-                               depthwise_sep=depthwise_sep)
-            self.add_res_block("res6", (256, 256, 3, 3), depthwise_sep=depthwise_sep)
-            self.add_res_block("res7", (512, 256, 3, 3), downsample=True,
-                               depthwise_sep=depthwise_sep)
-            self.add_res_block("res8", (512, 512, 3, 3), depthwise_sep=depthwise_sep)
-            # Spatial (7,7) --> (1,)
-            self.add_layer(GlobalAveragePoolingLayer("global_pool1"))
-            self.add_layer(DenseLayer("dense1", incoming_chans=512,
-                                      output_dim=num_classes,
-                                      weight_regulariser=l2(0.0001)))
-            self.set_loss_layer(SoftmaxWithCrossEntropy("softmax1"))
+        if not load_layers:
+            return
+        reg = l2(0.0001)
+        self.add_layer(ConvLayer("conv0", filter_block_shape=(64, 3, 5, 5),
+                                 with_bias=False, stride=2, padding=1,
+                                 weight_regulariser=reg))
+        self.add_layer(BatchNormLayer("conv0_bn", input_dimension=4,
+                                      incoming_chans=64))
+        self.add_layer(ReLu("conv0_relu"))
+        self.add_layer(PointwiseConvLayer("pw0", filter_block_shape=(64, 64),
+                                          with_bias=False, stride=2,
+                                          weight_regulariser=l2(0.0001)))
+        self.add_layer(BatchNormLayer("pw0_bn", input_dimension=4,
+                                      incoming_chans=64))
+        self.add_layer(ReLu("pw0_relu"))
+        for i, (out_ch, in_ch, down) in enumerate(self._BLOCKS, start=1):
+            self.add_res_block("res{}".format(i), (out_ch, in_ch, 3, 3),
+                               downsample=down, depthwise_sep=depthwise_sep)
+        self.add_layer(GlobalAveragePoolingLayer("global_pool1"))
+        self.add_layer(DenseLayer("dense1", incoming_chans=512,
+                                  output_dim=num_classes,
+                                  weight_regulariser=l2(0.0001)))
+        self.set_loss_layer(SoftmaxWithCrossEntropy("softmax1"))
 
 
 def build_resnet18_plain(name, num_classes=120):
