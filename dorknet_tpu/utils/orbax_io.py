@@ -34,7 +34,9 @@ def load_checkpoint(path, network, trainer=None):
 
     Restores WITHOUT a structural target so a checkpoint that carries an
     optimiser cache loads into a fresh (cache-less) trainer and vice versa —
-    whatever subset of {params, states, opt_cache} is on disk is applied."""
+    whatever subset of {params, states, opt_cache} is on disk is applied.
+    NB: target-less restore places arrays with default (unsharded) layout;
+    re-apply mesh shardings afterwards via parallel.shard_network_params."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
