@@ -1,6 +1,8 @@
 """Checkpoint round-trips in the reference's h5+json byte format (SURVEY §3.4)."""
 
 import json
+
+import pytest
 import os
 
 import h5py
@@ -145,3 +147,18 @@ def test_structure_json(tmp_path):
     assert keys[1] == "conv0" and keys[-1] == "softmax"
     assert d["conv0"].startswith("ConvLayer(conv0, filter_block_shape=(8,3,3,3)")
     assert d["softmax"] == "SoftmaxWithCrossEntropy(softmax)"
+
+
+def test_unknown_layer_type_raises_helpfully(tmp_path):
+    import h5py
+    from dorknet_tpu.utils import h5io
+
+    h5f = str(tmp_path / "bad.h5")
+    jsf = str(tmp_path / "bad.json")
+    with h5py.File(h5f, "w") as f:
+        h5io.create_layer_info(f, "mystery", "FancyNewLayer")
+    with open(jsf, "w") as f:
+        json.dump({"name": "x", "mystery": "FancyNewLayer(mystery)"}, f)
+    net = FeedForwardNetwork("")
+    with pytest.raises(KeyError, match="FancyNewLayer"):
+        net.load_network_from_json_and_h5(jsf, h5f)

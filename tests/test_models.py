@@ -54,3 +54,12 @@ def test_resnet50(tmp_path):
     net = ResNet50("r50", num_classes=5)
     X = np.random.randn(2, 3, 64, 64).astype(np.float32)
     _one_step_and_roundtrip(net, X, 5, tmp_path)
+
+
+def test_resnet18_plain_variant(tmp_path):
+    from dorknet_tpu.models import build_resnet18_plain
+
+    np.random.seed(0)
+    net = build_resnet18_plain("r18p", num_classes=6)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 6, tmp_path)
