@@ -17,6 +17,8 @@ class InferenceRunner:
     def __init__(self, network, batch_size, batch_sharding=None, fold_bn=False):
         """fold_bn=True serves a BN-folded copy of the network (conv→BN pairs
         collapsed — utils/fold_bn) for one fewer activation pass per BN."""
+        self._source = network
+        self._fold = bool(fold_bn)
         if fold_bn:
             from dorknet_tpu.utils.fold_bn import fold_batch_norms
 
@@ -29,7 +31,14 @@ class InferenceRunner:
         self._fn = jax.jit(lambda p, s, x: network._test_fn(p, s, x))
 
     def refresh(self):
-        """Re-capture params/state after further training."""
+        """Re-capture params/state after further training of the SOURCE network
+        (re-folds when the runner was built with fold_bn=True)."""
+        if self._fold:
+            from dorknet_tpu.utils.fold_bn import fold_batch_norms
+
+            self.network = fold_batch_norms(self._source)
+            net = self.network
+            self._fn = jax.jit(lambda p, s, x: net._test_fn(p, s, x))
         self._params = self.network.gather_params()
         self._states = self.network.gather_states()
 
@@ -46,13 +55,9 @@ class InferenceRunner:
         B = self.batch_size
         outs = []
         for i in range(0, N, B):
-            chunk = X[i:i + B]
-            pad = B - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            probs = self._run_fixed(jnp.asarray(chunk))
-            outs.append(np.asarray(probs)[:B - pad if pad else B])
+            chunk, pad = self._pad_to_batch(X[i:i + B])
+            probs = np.asarray(self._run_fixed(jnp.asarray(chunk)))
+            outs.append(probs[:-pad] if pad else probs)
         return np.concatenate(outs, axis=0)
 
     def predict(self, X):
@@ -61,6 +66,11 @@ class InferenceRunner:
 
     def _pad_to_batch(self, X):
         n = X.shape[0]
+        if n > self.batch_size:
+            raise ValueError(
+                "batch of {} exceeds the compiled batch_size {} — use "
+                "predict_probs for arbitrary N (it chunks)".format(
+                    n, self.batch_size))
         if n == self.batch_size:
             return X, 0
         pad = self.batch_size - n

@@ -178,6 +178,9 @@ class Trainer:
             network._pending_grads = None
         params = network.gather_params()
         states = network.gather_states()
+        if self.param_sharding is not None and not getattr(self, "_params_placed", False):
+            params = jax.device_put(params, self.param_sharding)
+            self._params_placed = True
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
         Xs, ys = self._place_batch(X_stack, y_stack)

@@ -23,15 +23,29 @@ from dorknet_tpu.optimisers.base import Optimiser
 
 
 class OptaxOptimiser(Optimiser):
-    def __init__(self, network, transformation, learning_rate=0.0):
+    def __init__(self, network, transformation, learning_rate=None):
+        """learning_rate=None (default) leaves the transformation's own lr
+        untouched; pass a float ONLY when the transformation was built with
+        inject_hyperparams and you want the framework's set_learning_rate /
+        multiply_learning_rate schedule API to drive it."""
         super().__init__(network, learning_rate)
         self.transformation = transformation
+
+    def device_lr(self):
+        if self.learning_rate is None:
+            import jax.numpy as jnp
+            return jnp.float32(0.0)  # placeholder, never injected
+        return super().device_lr()
 
     def init_cache(self, params):
         return self.transformation.init(params)
 
     def apply_update(self, params, grads, cache, lr):
-        if hasattr(cache, "hyperparams") and "lr" in cache.hyperparams:
+        # only override the injected lr when the user opted into framework-side
+        # scheduling — a None learning_rate must not zero the transformation's
+        # own configured lr
+        if (self.learning_rate is not None
+                and hasattr(cache, "hyperparams") and "lr" in cache.hyperparams):
             cache.hyperparams["lr"] = lr
         updates, new_cache = self.transformation.update(grads, cache, params)
         new_params = optax.apply_updates(params, updates)

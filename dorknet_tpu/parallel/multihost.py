@@ -16,15 +16,21 @@ import jax
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Join the multi-host runtime (no-op when unconfigured single-host).
+    """Join the multi-host runtime.
 
-    On TPU pods the three arguments are auto-detected from the environment;
-    pass them explicitly elsewhere (coordinator 'host:port', process count,
-    this process's rank)."""
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+    With explicit args: joins that coordination service. With no args: lets
+    jax auto-detect the cluster from the environment (TPU pod metadata /
+    coordinator env vars); if no cluster is detectable (plain single host),
+    this is a harmless no-op. Returns (process_count, process_index)."""
+    if coordinator_address or (num_processes is not None and num_processes > 1):
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # no cluster detected — single-host run
     return jax.process_count(), jax.process_index()
 
 
@@ -36,6 +42,12 @@ def is_main_process():
 def local_batch_slice(global_batch_size):
     """(start, size) of this host's slice of a globally-sharded batch: each
     host feeds its own shard; jax.make_array_from_process_local_data or
-    device_put with a NamedSharding assembles the global array."""
-    per = global_batch_size // jax.process_count()
+    device_put with a NamedSharding assembles the global array. The global
+    batch must divide evenly (uneven shards cannot form a global array)."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            "global_batch_size {} not divisible by process_count {}".format(
+                global_batch_size, n))
+    per = global_batch_size // n
     return jax.process_index() * per, per

@@ -35,7 +35,9 @@ def _layer_flops(layer, in_shape, out_shape):
     return 0
 
 
-def _walk(layer, params, state, x, rows, depth=0):
+def _walk(layer, params, state, x, rows, acc, depth=0):
+    """acc: 1-element list accumulating activation element counts over EVERY
+    produced tensor, including ResidualBlock internals and skip branches."""
     name = "{}{} ({})".format("  " * depth, layer.layer_name,
                               type(layer).__name__)
     if type(layer).__name__ == "ResidualBlock":
@@ -44,19 +46,21 @@ def _walk(layer, params, state, x, rows, depth=0):
         h = x
         for i, l in enumerate(layer.layer_list):
             h, f = _walk(l, params["layers"][i], state["layers"][i], h,
-                         rows, depth + 1)
+                         rows, acc, depth + 1)
             total += f
         if layer.skip_projection is not None:
             _, f = _walk(layer.skip_projection, params["skip"], state["skip"],
-                         x_in, rows, depth + 1)
+                         x_in, rows, acc, depth + 1)
             total += f
         y = h  # post-skip activation preserves shape
+        acc[0] += int(np.prod(y.shape))  # the post-join tensor
         rows.append((name, tuple(y.shape), _param_count(params), total))
         return y, total
 
     y_shape = jax.eval_shape(
         lambda p, s, x_: layer.fapply(p, s, x_, True)[0], params, state, x)
     flops = _layer_flops(layer, x.shape, y_shape.shape) or 0
+    acc[0] += int(np.prod(y_shape.shape))
     rows.append((name, tuple(y_shape.shape), _param_count(params), flops))
     return jax.ShapeDtypeStruct(y_shape.shape, y_shape.dtype), flops
 
@@ -67,11 +71,11 @@ def summarize(network, input_shape, print_table=True):
     n, c, h, w = input_shape
     x = jax.ShapeDtypeStruct((n, h, w, c), jnp.float32)  # internal NHWC
     rows = []
-    act_elems = int(np.prod(x.shape))
+    acc = [int(np.prod(x.shape))]
     for layer, p, s in zip(network.layers, network.gather_params(),
                            network.gather_states()):
-        x, _ = _walk(layer, p, s, x, rows)
-        act_elems += int(np.prod(x.shape))
+        x, _ = _walk(layer, p, s, x, rows, acc)
+    act_elems = acc[0]
 
     total_params = sum(r[2] for r in rows if not r[0].startswith(" "))
     total_flops = sum(r[3] for r in rows if not r[0].startswith(" "))

@@ -32,19 +32,43 @@ def load_checkpoint(path, network, trainer=None):
     """Restore into an already-constructed network (the structure carrier),
     mirroring the reference's build-empty-then-load flow.
 
-    Restores WITHOUT a structural target so a checkpoint that carries an
-    optimiser cache loads into a fresh (cache-less) trainer and vice versa —
-    whatever subset of {params, states, opt_cache} is on disk is applied.
-    NB: target-less restore places arrays with default (unsharded) layout;
-    re-apply mesh shardings afterwards via parallel.shard_network_params."""
+    Restore strategy: first try a STRUCTURAL target (params/states from the
+    network, optimiser cache materialised via init_cache when a trainer is
+    given) so typed optimiser states — e.g. optax NamedTuples — come back as
+    their real types. If the on-disk tree doesn't match (checkpoint saved
+    with/without a cache), fall back to params+states only and skip the
+    optimiser cache with a notice.
+    NB: target-less placement is unsharded; re-apply mesh shardings afterwards
+    via parallel.shard_network_params."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)
+    base_target = {"params": network.gather_params(),
+                   "states": network.gather_states()}
+    restored = None
+    if trainer is not None:
+        target = dict(base_target)
+        target["opt_cache"] = (trainer._cache if trainer._cache is not None
+                               else trainer.optimiser.init_cache(
+                                   network.gather_params()))
+        try:
+            restored = ckptr.restore(path, target)
+            trainer._cache = restored["opt_cache"]
+        except Exception:
+            restored = None
+    if restored is None:
+        try:
+            restored = ckptr.restore(path, base_target)
+        except Exception:
+            # checkpoint carries extra keys (e.g. opt_cache) — raw restore,
+            # apply params/states only
+            raw = ckptr.restore(path)
+            restored = {"params": raw["params"], "states": raw["states"]}
+            if trainer is not None:
+                print("orbax load: optimiser cache in checkpoint could not be "
+                      "matched to this trainer — skipped (momentum restarts)")
     for l, p in zip(network.layers, restored["params"]):
         l.set_params(p)
     network.scatter_states(restored["states"])
-    if trainer is not None and restored.get("opt_cache") is not None:
-        trainer._cache = restored["opt_cache"]
     return network

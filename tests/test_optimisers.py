@@ -114,3 +114,23 @@ def test_optax_adapter_compat_path():
         opt.update_weights()
         l0 = float(loss) if l0 is None else l0
     assert float(loss) < l0
+
+
+def test_optax_adapter_respects_transformation_lr():
+    """Regression: default learning_rate=None must NOT zero the lr configured
+    inside an inject_hyperparams transformation (previously froze training)."""
+    import optax
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import OptaxOptimiser
+    from tests.test_network import small_net, toy_batch
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=15)
+    w0 = np.asarray(net.layers[0].learned_params["weights"]).copy()
+    tx = optax.inject_hyperparams(lambda lr: optax.sgd(lr))(lr=0.1)
+    opt = OptaxOptimiser(net, tx)  # no learning_rate passed
+    tr = Trainer(net, opt)
+    for _ in range(3):
+        tr.step(X, one_hot)
+    w1 = np.asarray(net.layers[0].learned_params["weights"])
+    assert np.abs(w1 - w0).max() > 1e-4  # params actually moved

@@ -191,3 +191,50 @@ def test_fold_batch_norms_inference_equivalence():
                                rtol=1e-4, atol=1e-5)
     # original untouched
     assert type(net.layers[1]).__name__ == "BatchNormLayer"
+
+
+def test_orbax_restore_optax_state_typed(tmp_path):
+    """Regression: restoring into an OptaxOptimiser trainer must give back the
+    TYPED optax state (raw-dict restore crashed the next step)."""
+    import optax
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import OptaxOptimiser
+    from dorknet_tpu.utils.orbax_io import save_checkpoint, load_checkpoint
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=33)
+    opt = OptaxOptimiser(net, optax.adamw(1e-2))
+    tr = Trainer(net, opt)
+    for _ in range(2):
+        tr.step(X, one_hot)
+    path = str(tmp_path / "optax_ckpt")
+    save_checkpoint(path, net, tr)
+
+    net2 = small_net(seed=34)
+    tr2 = Trainer(net2, OptaxOptimiser(net2, optax.adamw(1e-2)))  # fresh cache
+    load_checkpoint(path, net2, tr2)
+    la, _ = tr.step(X, one_hot)
+    lb, _ = tr2.step(X, one_hot)  # must not raise; identical continuation
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+def test_inference_runner_fold_refresh():
+    """Regression: refresh() on a fold_bn runner re-folds from the live net."""
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer, InferenceRunner
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=41)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    tr.step(X, one_hot)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    before = runner.predict_probs(X)
+    for _ in range(3):
+        tr.step(X, one_hot)
+    runner.refresh()
+    after = runner.predict_probs(X)
+    assert not np.allclose(before, after)
+    _, ref = net.forward(X, None, test_mode=True)
+    np.testing.assert_allclose(after, np.asarray(ref), rtol=1e-4, atol=1e-5)
