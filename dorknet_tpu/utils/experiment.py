@@ -46,9 +46,16 @@ class Experiment:
     starting_epoch), otherwise builds a fresh network and writes the structure
     json."""
 
-    def __init__(self, name, network_factory, base_dir="."):
+    def __init__(self, name, network_factory, base_dir=".",
+                 empty_network_factory=None):
+        """empty_network_factory (optional): builds a layer-less carrier for
+        resume — e.g. ``lambda: ResNet18("", load_layers=False)`` — so the
+        restored object keeps its model-subclass identity (the reference's
+        restart pattern, examples/imagenet_dogs_225_resnet_18_depsep.py:194-199).
+        Defaults to a plain FeedForwardNetwork."""
         self.name = name
         self.network_factory = network_factory
+        self.empty_network_factory = empty_network_factory
         self.dir = os.path.join(base_dir, name)
         self.json_path = os.path.join(self.dir, name + ".json")
 
@@ -56,9 +63,12 @@ class Experiment:
         os.makedirs(self.dir, exist_ok=True)
         ckpt, epoch, acc = find_latest_checkpoint(self.dir)
         if ckpt is not None and os.path.exists(self.json_path):
-            from dorknet_tpu.network import FeedForwardNetwork
+            if self.empty_network_factory is not None:
+                net = self.empty_network_factory()
+            else:
+                from dorknet_tpu.network import FeedForwardNetwork
 
-            net = FeedForwardNetwork("")
+                net = FeedForwardNetwork("")
             net.load_network_from_json_and_h5(self.json_path, ckpt)
             return net, epoch + 1
         net = self.network_factory()

@@ -238,3 +238,20 @@ def test_inference_runner_fold_refresh():
     assert not np.allclose(before, after)
     _, ref = net.forward(X, None, test_mode=True)
     np.testing.assert_allclose(after, np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_experiment_empty_factory_preserves_subclass(tmp_path):
+    from dorknet_tpu.models import MNISTNet
+    from dorknet_tpu.utils.experiment import Experiment
+
+    exp = Experiment("sub", network_factory=lambda: MNISTNet("sub"),
+                     empty_network_factory=lambda: MNISTNet("", load_layers=False),
+                     base_dir=str(tmp_path))
+    net, start = exp.resume_or_init()
+    import numpy as np
+    net.forward(np.random.randn(2, 1, 28, 28).astype(np.float32),
+                np.eye(10, dtype=np.float32)[[1, 2]])
+    net._pending_grads = None
+    exp.save_epoch(net, 1, 0.5)
+    net2, start2 = exp.resume_or_init()
+    assert isinstance(net2, MNISTNet) and start2 == 2
