@@ -26,7 +26,8 @@ import jax
 # reuse compiled executables instead of re-paying 30-60 s compiles through the
 # (often degraded) TPU tunnel.
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_comp_cache_" + jax.default_backend())
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
@@ -167,6 +168,58 @@ def bench_aug_pipeline(n_images=256, image=225):
     return host_ips, dev_ips
 
 
+def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120,
+                                 deadline=None):
+    """Contention-fair fp32-vs-bf16: both trainers compiled first, then trials
+    interleaved A/B/A/B inside the same window (sequential configs confound the
+    comparison with the link's drift)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    trainers = {}
+    for name, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        dorknet_tpu.set_compute_dtype(dt)
+        try:
+            np.random.seed(0)
+            net = ResNet18("il-" + name, num_classes=classes)
+            trainers[name] = (Trainer(net, SGDMomentum(net, 0.064, 0.9)), dt)
+        finally:
+            dorknet_tpu.set_compute_dtype(jnp.float32)
+
+    X = jax.device_put(np.random.randn(batch_size, 3, image, image).astype(np.float32))
+    y = jax.device_put(np.eye(classes, dtype=np.float32)[
+        np.random.randint(0, classes, batch_size)])
+
+    best = {}
+    try:
+        for name, (tr, dt) in trainers.items():
+            dorknet_tpu.set_compute_dtype(dt)
+            for _ in range(2):
+                loss, _ = tr.step(X, y)
+            float(loss)
+            dorknet_tpu.set_compute_dtype(jnp.float32)
+        for r in range(rounds):
+            for name, (tr, dt) in trainers.items():
+                dorknet_tpu.set_compute_dtype(dt)
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    loss, _ = tr.step(X, y)
+                float(loss)
+                dt_s = (time.perf_counter() - t0) / 4
+                best[name] = min(best.get(name, float("inf")), dt_s)
+                dorknet_tpu.set_compute_dtype(jnp.float32)
+            if deadline is not None and time.monotonic() > deadline:
+                break
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    out = {k: round(batch_size / v, 1) for k, v in best.items()}
+    log(f"interleaved: {out}")
+    return out
+
+
 def bench_cam_p50(runs=20):
     """CAM inference latency: scores + res8 tap + projection for top-3 classes,
     single image, one jitted call (reference CAM flow, SURVEY §3.3)."""
@@ -218,14 +271,14 @@ def main():
         log("skipping multi_step config (time budget)")
     if time_left() > 150:
         try:
-            ips = bench_train(256, steps=8, trials=2, compute_dtype=jnp.bfloat16,
-                              deadline=deadline - 30)
-            results["train_ips_b256_bf16"] = round(ips, 1)
-            best = max(best, ips)
+            il = bench_interleaved_fp32_bf16(deadline=deadline - 30)
+            for k, v in il.items():
+                results[f"train_ips_b256_{k}_interleaved"] = v
+                best = max(best, v)
         except Exception as e:
-            log(f"bf16 failed: {e}")
+            log(f"interleaved fp32/bf16 failed: {e}")
     else:
-        log("skipping bf16 config (time budget)")
+        log("skipping interleaved fp32/bf16 (time budget)")
     if time_left() > 90:
         try:
             results["cam_p50_ms"] = round(bench_cam_p50(runs=10), 2)
