@@ -67,40 +67,46 @@ class BatchNormLayer(Layer):
             return int(self.incoming_chans)
         return int(np.asarray(self.learned_params["gamma"]).size)
 
-    def get_state(self):
-        """1-D (C,) running stats for the jitted graph; zeros placeholders before
-        the first training step (ignored under initialized=False)."""
+    def _state_shape(self):
+        # the reference's broadcast storage shape ((1,C,1,1) for 4-D input,
+        # (C,) for 2-D — reference: layers/batch_norm.py:70-73)
         C = self._num_chans()
+        return (1, C, 1, 1) if self.input_dimension == 4 else (C,)
+
+    def get_state(self):
+        """Running stats in their stored broadcast shape; zeros placeholders
+        before the first training step (ignored under initialized=False).
+
+        NB: returned AS stored and reshaped only INSIDE the jitted graph —
+        gather/scatter must not dispatch eager per-layer reshape ops (profiled
+        at ~0.8 ms of host time each through the TPU tunnel)."""
         rm = self.non_learned_params["running_mean"]
         rs = self.non_learned_params["running_std"]
         if rm is None:
-            z = jnp.zeros(C, dtype=jnp.float32)
+            z = jnp.zeros(self._state_shape(), dtype=jnp.float32)
             return {"running_mean": z, "running_std": z}
-        return {"running_mean": jnp.asarray(rm).reshape(-1),
-                "running_std": jnp.asarray(rs).reshape(-1)}
+        return {"running_mean": rm, "running_std": rs}
 
     def set_state(self, tree):
-        # Store back in the reference's broadcast shape ((1,C,1,1) for 4-D input,
-        # (C,) for 2-D — reference: layers/batch_norm.py:70-73).
-        if self.input_dimension == 4:
-            self.non_learned_params["running_mean"] = tree["running_mean"].reshape(1, -1, 1, 1)
-            self.non_learned_params["running_std"] = tree["running_std"].reshape(1, -1, 1, 1)
-        else:
-            self.non_learned_params["running_mean"] = tree["running_mean"].reshape(-1)
-            self.non_learned_params["running_std"] = tree["running_std"].reshape(-1)
+        # plain assignment — fapply already emitted the broadcast shape
+        self.non_learned_params["running_mean"] = tree["running_mean"]
+        self.non_learned_params["running_std"] = tree["running_std"]
 
     def fapply(self, params, state, x, train):
         gamma = params["gamma"].reshape(-1)
         beta = params["beta"].reshape(-1)
+        shape = self._state_shape()
         if train:
             y, new_mean, new_std = batch_norm_train(
                 x, gamma, beta,
-                state["running_mean"], state["running_std"],
+                state["running_mean"].reshape(-1), state["running_std"].reshape(-1),
                 momentum=self.run_momentum, eps=self.eps,
                 initialized=self.bn_initialized())
-            return y, {"running_mean": new_mean, "running_std": new_std}
+            return y, {"running_mean": new_mean.reshape(shape),
+                       "running_std": new_std.reshape(shape)}
         y = batch_norm_inference(x, gamma, beta,
-                                 state["running_mean"], state["running_std"])
+                                 state["running_mean"].reshape(-1),
+                                 state["running_std"].reshape(-1))
         return y, state
 
     # -- checkpointing ------------------------------------------------------ #

@@ -85,7 +85,11 @@ class Trainer:
                 preds = jnp.argmax(probs, axis=1)
                 return new_params, new_states, new_cache, loss, preds
 
-            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 1, 2))
+            # states (argnum 1) deliberately NOT donated: they're tiny (BN
+            # running stats) and user code / InferenceRunner may hold the
+            # previous buffers (reference semantics allow reading
+            # non_learned_params at any time)
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2))
         return self._jit_cache[key]
 
     def _place_batch(self, X, y):
@@ -160,7 +164,7 @@ class Trainer:
                     params, g_mean, cache, lr)
                 return new_params, new_states, new_cache, loss_sum / K
 
-            self._jit_cache[key] = jax.jit(accum, donate_argnums=(0, 1, 2))
+            self._jit_cache[key] = jax.jit(accum, donate_argnums=(0, 2))
         return self._jit_cache[key]
 
     def accumulate_step(self, X_stack, y_stack):
@@ -221,7 +225,7 @@ class Trainer:
                     body, (params, states, cache), (Xs, ys))
                 return params, states, cache, losses, preds
 
-            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 1, 2))
+            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 2))
         return self._jit_cache[key]
 
     def multi_step(self, X_stack, y_stack):
