@@ -19,8 +19,64 @@ through the EMA, and the manual dx formula it uses
 batch-stat normalisation below (verified by tests/test_gradients.py).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_core(x, gamma, beta, eps):
+    """Batch-stat normalise with a hand-written minimal-reduction VJP.
+
+    Autodiff through the mean/var chain emits ~4-5 separate full-tensor
+    reduction passes per BN in the backward graph; profiling the fused
+    flagship step showed those reductions at 59% of device time. The classic
+    closed-form backward needs exactly two (Σdy and Σdy·x̂ — one fused pass):
+
+        dβ = Σ dy ;  dγ = Σ dy·x̂ ;  dx = γ/σ · (dy − dβ/N − x̂·dγ/N)
+
+    (the same formula the reference derives by hand, layers/batch_norm.py:124-174).
+    Forward uses E[x²]−E[x]² so mean and var come from ONE pass over x.
+    Returns (y, mean, std) with stats in fp32; y in x.dtype."""
+    y, mean, std, _, _ = _bn_core_fwd_impl(x, gamma, beta, eps)
+    return y, mean, std
+
+
+def _bn_core_fwd_impl(x, gamma, beta, eps):
+    axis = tuple(range(x.ndim - 1))
+    shape = (1,) * (x.ndim - 1) + (-1,)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=axis) - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    x_hat = (xf - mean.reshape(shape)) * inv.reshape(shape)
+    y = (gamma.reshape(shape) * x_hat + beta.reshape(shape)).astype(x.dtype)
+    return y, mean, jnp.sqrt(var + eps), x_hat, inv
+
+
+def _bn_core_fwd(x, gamma, beta, eps):
+    y, mean, std, x_hat, inv = _bn_core_fwd_impl(x, gamma, beta, eps)
+    return (y, mean, std), (x_hat.astype(x.dtype), inv, gamma)
+
+
+def _bn_core_bwd(eps, res, cts):
+    x_hat, inv, gamma = res
+    gy = cts[0].astype(jnp.float32)  # stats cotangents are zero (stop_gradient)
+    x_hat = x_hat.astype(jnp.float32)
+    axis = tuple(range(gy.ndim - 1))
+    shape = (1,) * (gy.ndim - 1) + (-1,)
+    N = 1
+    for a in axis:
+        N *= gy.shape[a]
+    dbeta = jnp.sum(gy, axis=axis)
+    dgamma = jnp.sum(gy * x_hat, axis=axis)
+    dx = ((gamma * inv).reshape(shape)
+          * (gy - (dbeta / N).reshape(shape) - x_hat * (dgamma / N).reshape(shape)))
+    return dx.astype(cts[0].dtype), dgamma, dbeta
+
+
+_bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
 def batch_norm_train(x, gamma, beta, running_mean, running_std, momentum=0.95,
@@ -32,17 +88,7 @@ def batch_norm_train(x, gamma, beta, running_mean, running_std, momentum=0.95,
     first training step (running stats adopt batch stats directly,
     reference: layers/batch_norm.py:76-89).
     """
-    axis = (0, 1, 2) if x.ndim == 4 else (0,)
-    # statistics and normalisation in fp32 regardless of the activation dtype
-    # (bf16 flow keeps y in the input dtype, stats stay exact-ish)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=axis)
-    var = jnp.var(xf, axis=axis)
-    std = jnp.sqrt(var + eps)
-    shape = (1, 1, 1, -1) if x.ndim == 4 else (1, -1)
-    x_hat = (xf - mean.reshape(shape)) / std.reshape(shape)
-    y = (gamma.reshape(shape) * x_hat + beta.reshape(shape)).astype(x.dtype)
-
+    y, mean, std = _bn_core(x, gamma, beta, eps)
     m, s = jax.lax.stop_gradient((mean, std))
     if initialized:
         new_mean = momentum * running_mean + (1.0 - momentum) * m
