@@ -46,6 +46,15 @@ def _cast_out(y):
     return y.astype(dt) if y.dtype != dt else y
 
 
+def _bias_add(y, b, bshape):
+    """Bias add whose VJP reduces in fp32. The naive ``y + b.astype(y.dtype)``
+    makes the bias cotangent a bf16 reduce_sum, which XLA:TPU rejects as
+    mixed-precision inside rematerialised (jax.checkpoint) graphs."""
+    if y.dtype == jnp.float32:
+        return y + b.reshape(bshape)
+    return (y.astype(jnp.float32) + b.reshape(bshape)).astype(y.dtype)
+
+
 def conv2d(x, w_oihw, b=None, stride=1, padding=0):
     """Standard conv. x: (N,H,W,C); w_oihw: (O,I,fh,fw) (reference layout).
 
@@ -63,7 +72,7 @@ def conv2d(x, w_oihw, b=None, stride=1, padding=0):
     )
     y = _cast_out(y)
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
+        y = _bias_add(y, b, (1, 1, 1, -1))
     return y
 
 
@@ -103,7 +112,7 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     )
     y = _cast_out(y)
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
+        y = _bias_add(y, b, (1, 1, 1, -1))
     return y
 
 
@@ -121,7 +130,7 @@ def pointwise_conv2d(x, w_oc, b=None, stride=1):
                           preferred_element_type=_pet(),
                           precision=get_matmul_precision()))
     if b is not None:
-        y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
+        y = _bias_add(y, b, (1, 1, 1, -1))
     return y
 
 
@@ -131,5 +140,5 @@ def dense(x, w_io, b=None):
                           preferred_element_type=_pet(),
                           precision=get_matmul_precision()))
     if b is not None:
-        y = y + b.reshape(1, -1).astype(y.dtype)
+        y = _bias_add(y, b, (1, -1))
     return y

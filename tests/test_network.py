@@ -376,3 +376,24 @@ def test_trainer_remat_blocks_matches_plain():
         la, _ = tr_a.step(X, y)
         lb, _ = tr_b.step(X, y)
         np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+def test_remat_bf16_trains():
+    """Regression: remat + bf16 compute hit an XLA:TPU mixed-precision
+    reduce_sum in the bias-grad transpose until the bias add accumulated its
+    cotangent in fp32 (ops/conv._bias_add)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+
+    X, y, one_hot = toy_batch(B=8)
+    try:
+        dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+        net = small_net(seed=97)
+        # use a bias-carrying dense layer (small_net's dense has bias)
+        tr = Trainer(net, SGDMomentum(net, 0.05, 0.9), remat=True)
+        l0, _ = tr.step(X, one_hot)
+        for _ in range(6):
+            l1, _ = tr.step(X, one_hot)
+        assert np.isfinite(float(l1)) and float(l1) < float(l0)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
