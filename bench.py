@@ -254,12 +254,24 @@ def main():
     def time_left():
         return deadline - time.monotonic()
 
+    # PRIMARY: contention-fair fp32/bf16 interleaved (captures both configs;
+    # bf16 is the recommended training configuration at ~1.8x fp32)
     try:
-        ips = bench_train(256, steps=8, trials=2, deadline=deadline - 30)
-        results["train_ips_b256_fp32"] = round(ips, 1)
-        best = max(best, ips)
+        il = bench_interleaved_fp32_bf16(deadline=deadline - 30)
+        for k, v in il.items():
+            results[f"train_ips_b256_{k}_interleaved"] = v
+            best = max(best, v)
     except Exception as e:
-        log(f"b256 fp32 failed: {e}")
+        log(f"interleaved fp32/bf16 failed: {e}")
+    if time_left() > 120:
+        try:
+            ips = bench_train(256, steps=8, trials=2, deadline=deadline - 30)
+            results["train_ips_b256_fp32"] = round(ips, 1)
+            best = max(best, ips)
+        except Exception as e:
+            log(f"b256 fp32 failed: {e}")
+    else:
+        log("skipping standalone fp32 config (time budget)")
     if time_left() > 180:
         try:
             ips = bench_train_multistep(256, k=4)
@@ -269,16 +281,6 @@ def main():
             log(f"multi_step failed: {e}")
     else:
         log("skipping multi_step config (time budget)")
-    if time_left() > 150:
-        try:
-            il = bench_interleaved_fp32_bf16(deadline=deadline - 30)
-            for k, v in il.items():
-                results[f"train_ips_b256_{k}_interleaved"] = v
-                best = max(best, v)
-        except Exception as e:
-            log(f"interleaved fp32/bf16 failed: {e}")
-    else:
-        log("skipping interleaved fp32/bf16 (time budget)")
     if time_left() > 90:
         try:
             results["cam_p50_ms"] = round(bench_cam_p50(runs=10), 2)
