@@ -269,3 +269,29 @@ def test_device_augment_key_determinism():
     b = da.train_pipeline(jax.random.PRNGKey(8), imgs, oh, (32, 32), **kw)
     np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
     assert not np.array_equal(np.asarray(a1[0]), np.asarray(b[0]))
+
+
+def test_rotate_shear_matches_gather_geometry():
+    """Shear rotation (fast path) is geometrically exact vs the gather oracle
+    on smooth images (noise differences are interpolation blur only)."""
+    yy, xx = np.mgrid[0:48, 0:48]
+    im = jnp.asarray(np.stack([xx * 2.0, yy * 2.0, (xx + yy) * 1.0], -1)
+                     .astype(np.float32))
+    for deg in (7.0, -12.0):
+        a = np.asarray(da.rotate(jax.random.PRNGKey(0), im, (deg, deg)))
+        b = np.asarray(da.rotate_shear(jax.random.PRNGKey(0), im, (deg, deg)))
+        inner = (slice(10, -10),) * 2
+        assert np.median(np.abs(a[inner] - b[inner])) < 0.05
+
+
+def test_train_pipeline_chw_variant():
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (4, 40, 40, 3)).astype(np.float32)
+    oh = np.eye(5, dtype=np.float32)[rng.randint(0, 5, 4)]
+    X, y = da.train_pipeline(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(oh), (32, 32),
+        hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+        rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+        crop_mode="random", mixup=(0.0, 0.3), internal_layout="CHW")
+    assert X.shape == (8, 3, 32, 32)
+    assert float(jnp.min(X)) >= -128.0 and float(jnp.max(X)) <= 127.0 + 1e-3
