@@ -100,8 +100,22 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
 
 
 def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
-    """K fused steps per dispatch (Trainer.multi_step) — amortises host
-    dispatch latency; the realistic fast path when batches are prefetched."""
+    """K fused steps per dispatch (Trainer.multi_step) under the bf16 policy —
+    the recommended production configuration (measured fastest)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        return _bench_multistep_inner(batch_size, k, reps, image, classes)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+
+
+def _bench_multistep_inner(batch_size, k, reps, image, classes):
     from dorknet_tpu.models import ResNet18
     from dorknet_tpu.optimisers import SGDMomentum
     from dorknet_tpu.network import Trainer
@@ -123,7 +137,7 @@ def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
         float(losses[-1])
         best = min(best, (time.perf_counter() - t0) / k)
     ips = batch_size / best
-    log(f"multi_step b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
+    log(f"multi_step(bf16) b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
     return ips
 
 
@@ -275,7 +289,7 @@ def main():
     if time_left() > 180:
         try:
             ips = bench_train_multistep(256, k=4)
-            results["train_ips_b256_multistep"] = round(ips, 1)
+            results["train_ips_b256_multistep_bf16"] = round(ips, 1)
             best = max(best, ips)
         except Exception as e:
             log(f"multi_step failed: {e}")
