@@ -188,3 +188,29 @@ def test_bench_functions_smoke():
     assert ips2 > 0
     host, dev = bench.bench_aug_pipeline(n_images=8, image=32)
     assert host > 0 and dev > 0
+
+
+def test_class_name_map_artifact_resolves_names():
+    """The shipped num_to_dog_name_map.json (the artifact the reference ships,
+    ref imagenet_dog_class_names/) resolves class indices the way the CAM and
+    evaluate examples look them up: class_names[str(cls)] for cls 0..119."""
+    import json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo_root, "imagenet_dog_class_names",
+                        "num_to_dog_name_map.json")
+    with open(path) as f:
+        class_names = json.load(f)
+    assert len(class_names) == 120
+    assert sorted(int(k) for k in class_names) == list(range(120))
+    for cls in np.argsort(np.random.rand(120))[:5]:
+        assert isinstance(class_names[str(int(cls))], str)
+    assert class_names["0"] == "Chihuahua"
+
+    # both examples point at this artifact path relative to the repo root
+    from examples import imagenet_dogs_225_resnet_18_depsep_CAM as cam_ex
+    from examples import imagenet_dogs_225_resnet_18_depsep_evaluate as ev_ex
+    for mod in (cam_ex, ev_ex):
+        assert os.path.basename(mod.CLASS_MAP) == "num_to_dog_name_map.json"
+        assert os.path.exists(os.path.join(repo_root,
+                                           mod.CLASS_MAP.lstrip("./")))
