@@ -8,8 +8,23 @@ arrays have global semantics (the DP gradient/BN reductions ride ICI within a
 slice; across slices XLA routes collectives over DCN), and the Trainer's
 sharded batches are assembled per-host from each host's local shard.
 
-This module is the thin process-level glue; it is exercised in CI only at the
-API level (single-process) since multi-host needs real pods.
+This module is the thin process-level glue. The slicing/gating math takes
+explicit (process_count, process_index) overrides so it is unit-testable for
+n>1 without a pod; the defaults read the live jax runtime.
+
+Pod launch recipe (v5e-16, 4 hosts x 4 chips):
+    # on every host, same binary, per-host PROCESS_ID in 0..3
+    python train.py  # which does:
+    #   from dorknet_tpu.parallel import multihost, make_mesh, batch_sharding
+    #   multihost.initialize()            # auto-detects TPU pod metadata; or
+    #   multihost.initialize("host0:8476", num_processes=4, process_id=ID)
+    #   mesh = make_mesh({"data": jax.device_count()})   # GLOBAL devices
+    #   start, per = multihost.local_batch_slice(GLOBAL_BATCH)
+    #   each host loads rows [start, start+per) and builds the global array
+    #   via jax.make_array_from_process_local_data(sharding, local_rows)
+    #   if multihost.is_main_process(): save checkpoints / write logs
+Collectives ride ICI within a slice and DCN across slices; nothing else in
+the training loop changes.
 """
 
 import jax
@@ -34,20 +49,31 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     return jax.process_count(), jax.process_index()
 
 
-def is_main_process():
-    """True on exactly one host — gate checkpoint writes / logging with this."""
-    return jax.process_index() == 0
+def is_main_process(process_index=None):
+    """True on exactly one host — gate checkpoint writes / logging with this.
+
+    ``process_index`` overrides the live runtime's index (for tests)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    return process_index == 0
 
 
-def local_batch_slice(global_batch_size):
+def local_batch_slice(global_batch_size, process_count=None, process_index=None):
     """(start, size) of this host's slice of a globally-sharded batch: each
     host feeds its own shard; jax.make_array_from_process_local_data or
     device_put with a NamedSharding assembles the global array. The global
-    batch must divide evenly (uneven shards cannot form a global array)."""
-    n = jax.process_count()
+    batch must divide evenly (uneven shards cannot form a global array).
+
+    ``process_count``/``process_index`` override the live runtime (for
+    simulating n>1 hosts in tests)."""
+    n = jax.process_count() if process_count is None else process_count
+    idx = jax.process_index() if process_index is None else process_index
+    if not 0 <= idx < n:
+        raise ValueError(
+            "process_index {} out of range for {} processes".format(idx, n))
     if global_batch_size % n:
         raise ValueError(
             "global_batch_size {} not divisible by process_count {}".format(
                 global_batch_size, n))
     per = global_batch_size // n
-    return jax.process_index() * per, per
+    return idx * per, per

@@ -120,6 +120,29 @@ def test_multihost_api_single_process():
     assert local_batch_slice(64) == (0, 64)
 
 
+def test_multihost_slicing_simulated_pods():
+    """local_batch_slice / is_main_process for simulated n>1 hosts: the
+    per-host slices tile the global batch exactly, in process order, and
+    exactly one process is main."""
+    import pytest
+    from dorknet_tpu.parallel import is_main_process, local_batch_slice
+
+    for n in (2, 4):
+        slices = [local_batch_slice(64, process_count=n, process_index=i)
+                  for i in range(n)]
+        assert all(size == 64 // n for _, size in slices)
+        assert [start for start, _ in slices] == [i * (64 // n) for i in range(n)]
+        flat = [i for s, z in sorted(slices) for i in range(s, s + z)]
+        assert flat == list(range(64))  # exact disjoint tiling
+        assert [is_main_process(i) for i in range(n)] == [True] + [False] * (n - 1)
+
+    # uneven global batch cannot form a global array -> hard error
+    with pytest.raises(ValueError):
+        local_batch_slice(65, process_count=4, process_index=0)
+    with pytest.raises(ValueError):
+        local_batch_slice(64, process_count=4, process_index=7)
+
+
 def test_dp_multi_step_sharded():
     """multi_step with a data-sharded batch stack: dim 0 is the scan (step)
     axis, dim 1 the sharded batch axis."""
