@@ -36,6 +36,37 @@ def num_workers_hint(n):
     return max(1, int(n))
 
 
+def discover_dataset(base_folder):
+    """Scan the ``base_folder/<class>/images/*`` reference directory layout
+    once. Returns (label_map, per_class_paths, samples):
+
+    * ``label_map``: class name → integer label, assigned in sorted-name
+      order (the contract scripts/make_class_name_map.py relies on);
+    * ``per_class_paths``: class name → list of image paths (sorted, so
+      sampling order is reproducible across filesystems);
+    * ``samples``: flat [(class name, path), ...] over every image.
+    """
+    names = sorted(d for d in os.listdir(base_folder)
+                   if os.path.isdir(os.path.join(base_folder, d)))
+    label_map = {name: label for label, name in enumerate(names)}
+    per_class_paths = {}
+    for name in names:
+        images_dir = os.path.join(base_folder, name, "images")
+        per_class_paths[name] = [os.path.join(images_dir, f)
+                                 for f in sorted(os.listdir(images_dir))]
+    samples = [(name, path) for name in names for path in per_class_paths[name]]
+    return label_map, per_class_paths, samples
+
+
+def mixup_pair(X_a, y_a, X_b, y_b, lam):
+    """The reference's mixup emits BOTH convex orderings of a batch pair per
+    draw (ref image_data_loader.py:100-112): returns
+    ``[(lam*Xb + (1-lam)*Xa, matching soft labels), (the mirror image)]``."""
+    blend = lambda u, v: (lam * u + (1 - lam) * v).astype(np.float32)  # noqa: E731
+    return [(blend(X_b, X_a), blend(y_b, y_a)),
+            (blend(X_a, X_b), blend(y_a, y_b))]
+
+
 class ImageDataLoader:
     def __init__(self, base_folder, batch_size, preprocessor,
                  classes_from_dir_structure=True, num_workers=1,
@@ -81,25 +112,18 @@ class ImageDataLoader:
         self.keep_producing = True
 
         if classes_from_dir_structure:
-            self.class_names = [c for c in os.listdir(base_folder)
-                                if os.path.isdir(os.path.join(base_folder, c))]
-            self.class_name_num_map = {name: num for num, name
-                                       in enumerate(sorted(self.class_names))}
-            class_name_to_image_paths_map = {
-                c_n: [os.path.join(base_folder, c_n, "images", f)
-                      for f in os.listdir(os.path.join(base_folder, c_n, "images"))]
-                for c_n in self.class_names}
-            self.class_name_to_image_iterator_map = {
-                c_n: itertools.cycle(p)
-                for c_n, p in class_name_to_image_paths_map.items()}
+            self.class_name_num_map, per_class_paths, self.samples = (
+                discover_dataset(base_folder))
+            self.class_names = list(self.class_name_num_map)
+            # class-balanced mode: round-robin over classes, cycling each
+            # class's own path list independently
             self.class_cycle = itertools.cycle(
-                self.class_name_to_image_iterator_map.items())
-            self.class_name_path_tuple_list = [
-                (c, p) for c in class_name_to_image_paths_map.keys()
-                for p in class_name_to_image_paths_map[c]]
-            self.index_cycle = itertools.cycle(
-                range(len(self.class_name_path_tuple_list)))
-            print("Number of samples: ", len(self.class_name_path_tuple_list))
+                (name, itertools.cycle(paths))
+                for name, paths in per_class_paths.items())
+            # flat mode: an index cycle over all samples (reshuffled by
+            # shuffle_indices)
+            self.index_cycle = itertools.cycle(range(len(self.samples)))
+            print("Number of samples: ", len(self.samples))
 
         self.queue_thread = threading.Thread(target=self.load_batch,
                                              args=(self.class_balance,),
@@ -141,7 +165,7 @@ class ImageDataLoader:
             pass
         with self._lock:
             self.index_cycle = itertools.cycle(
-                list(np.random.permutation(len(self.class_name_path_tuple_list))))
+                list(np.random.permutation(len(self.samples))))
         self._resume.set()
 
     # ------------------------------------------------------------------ #
@@ -156,7 +180,7 @@ class ImageDataLoader:
                         X_batch_list.append(next(path_cycle))
                 else:
                     for _ in range(self.batch_size):
-                        c_name, path = self.class_name_path_tuple_list[
+                        c_name, path = self.samples[
                             next(self.index_cycle)]
                         y_batch_list.append(self.class_name_num_map[c_name])
                         X_batch_list.append(path)
@@ -215,17 +239,16 @@ class ImageDataLoader:
                 X_batch = self._decode_batch(pool, X_batch_list)
                 one_hot_y = eye[np.asarray(y_batch_list)]
                 if self.mixup_range_tuple is not None:
-                    mixup_prop = np.random.uniform(*self.mixup_range_tuple)
+                    # draw a partner batch and emit both convex orderings
                     X_list_m, y_list_m = next(
                         self.get_batch_list(class_balance=class_balance))
                     X_batch_m = self._decode_batch(pool, X_list_m)
-                    one_hot_y_m = eye[np.asarray(y_list_m)]
-                    X_mixed = mixup_prop * X_batch_m + (1 - mixup_prop) * X_batch
-                    X_mixed_m = mixup_prop * X_batch + (1 - mixup_prop) * X_batch_m
-                    y_mixed = mixup_prop * one_hot_y_m + (1 - mixup_prop) * one_hot_y
-                    y_mixed_m = mixup_prop * one_hot_y + (1 - mixup_prop) * one_hot_y_m
-                    self._put((X_mixed, y_batch_list, y_mixed))
-                    self._put((X_mixed_m, y_list_m, y_mixed_m))
+                    mixed = mixup_pair(
+                        X_batch, one_hot_y, X_batch_m, eye[np.asarray(y_list_m)],
+                        np.random.uniform(*self.mixup_range_tuple))
+                    for labels, (X_mixed, y_mixed) in zip(
+                            (y_batch_list, y_list_m), mixed):
+                        self._put((X_mixed, labels, y_mixed))
                 else:
                     self._put((X_batch, y_batch_list, one_hot_y))
 
