@@ -141,12 +141,16 @@ def _bench_multistep_inner(batch_size, k, reps, image, classes):
     return ips
 
 
+AUG_ARGS = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+                crop_mode="random", mixup=(0.0, 0.3))
+
+
 def bench_aug_pipeline(n_images=256, image=225):
-    """Host augmentation pipeline images/sec (BASELINE metric): decode-free
+    """Augmentation pipeline images/sec (BASELINE metric): decode-free
     measurement of the preprocess+augment stack on in-memory images — the cv2
-    host path vs the on-device jitted path."""
-    import cv2
-    import jax.numpy as jnp
+    host path vs the on-device batched planes path (uint8 in, bf16 float
+    stages)."""
     from dorknet_tpu.data_loading import ImagePreprocessor, ImageAugmenter
     from dorknet_tpu.data_loading.device_augment import train_pipeline
 
@@ -165,21 +169,149 @@ def bench_aug_pipeline(n_images=256, image=225):
     log(f"aug host(cv2, 1 thread): {host_ips:.0f} img/s")
 
     oh = np.eye(120, dtype=np.float32)[rng.randint(0, 120, n_images)]
-    key = jax.random.PRNGKey(0)
-    args = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
-                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
-                crop_mode="random", mixup=(0.0, 0.3))
-    Xd = jax.device_put(imgs.astype(np.float32))
+    Xd = jax.device_put(imgs)  # uint8 on device: 1 byte/pixel H2D + crop
     ohd = jax.device_put(oh)
-    out = train_pipeline(key, Xd, ohd, (image, image), **args)
+    out = train_pipeline(jax.random.PRNGKey(0), Xd, ohd, (image, image), **AUG_ARGS)
     np.asarray(out[0][0, 0, 0, 0])  # compile+sync
-    t0 = time.perf_counter()
-    for i in range(3):
-        out = train_pipeline(jax.random.PRNGKey(i), Xd, ohd, (image, image), **args)
-    np.asarray(out[0][0, 0, 0, 0])
-    dev_ips = 3 * n_images / (time.perf_counter() - t0)
-    log(f"aug on-device(jitted): {dev_ips:.0f} img/s")
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(4):
+            out = train_pipeline(jax.random.PRNGKey(i), Xd, ohd, (image, image),
+                                 **AUG_ARGS)
+        np.asarray(out[0][0, 0, 0, 0])
+        best = min(best, (time.perf_counter() - t0) / 4)
+    dev_ips = n_images / best
+    log(f"aug on-device(planes/bf16): {dev_ips:.0f} img/s")
     return host_ips, dev_ips
+
+
+def bench_aug_vs_train_interleaved(batch_size=256, image=225, classes=120,
+                                   rounds=3):
+    """The VERDICT item-3 check: can the on-device augmentation stage sustain
+    the train step's rate? Both programs compiled first, trials interleaved in
+    the same window (contention-fair). Returns (aug_ips, train_ips)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.data_loading.device_augment import train_pipeline
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    rng = np.random.RandomState(0)
+    precrop = int(image * 1.25)
+    Xu = jax.device_put(rng.randint(0, 255, (batch_size, precrop, precrop, 3),
+                                    dtype=np.uint8))
+    oh = jax.device_put(np.eye(classes, dtype=np.float32)[
+        rng.randint(0, classes, batch_size)])
+
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        np.random.seed(0)
+        net = ResNet18("aug-vs-train", num_classes=classes)
+        trainer = Trainer(net, SGDMomentum(net, 0.064, 0.9))
+        Xt = jax.device_put(np.random.randn(batch_size, 3, image, image)
+                            .astype(np.float32))
+
+        out = train_pipeline(jax.random.PRNGKey(0), Xu, oh, (image, image),
+                             **AUG_ARGS)
+        np.asarray(out[0][0, 0, 0, 0])
+        loss, _ = trainer.step(Xt, oh)
+        float(loss)
+
+        best = {"aug": float("inf"), "train": float("inf")}
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            for i in range(4):
+                out = train_pipeline(jax.random.PRNGKey(i), Xu, oh,
+                                     (image, image), **AUG_ARGS)
+            np.asarray(out[0][0, 0, 0, 0])
+            best["aug"] = min(best["aug"], (time.perf_counter() - t0) / 4)
+            t0 = time.perf_counter()
+            for i in range(4):
+                loss, _ = trainer.step(Xt, oh)
+            float(loss)
+            best["train"] = min(best["train"], (time.perf_counter() - t0) / 4)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    aug_ips = batch_size / best["aug"]
+    train_ips = batch_size / best["train"]
+    log(f"aug-vs-train (interleaved, bf16): aug {aug_ips:.0f} img/s, "
+        f"train {train_ips:.0f} img/s, ratio {aug_ips / train_ips:.2f}x")
+    return aug_ips, train_ips
+
+
+def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
+    """END-TO-END training throughput: JPEGs on disk -> threaded loader
+    (native C++ decode when built, precrop resize, uint8 HWC batches) ->
+    device_prefetch -> on-device augmentation (planes/bf16, incl. mixup) ->
+    fused bf16 train step. Reports TRAINED images/sec (device mixup doubles
+    the batch: one 256-image loader batch trains 512 images) plus the
+    host decode rate, which on a 1-core bench host is the expected ceiling."""
+    import os
+    import shutil
+    import tempfile
+
+    import cv2
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.data_loading import (ImageDataLoader, ImagePreprocessor,
+                                          device_prefetch)
+    from dorknet_tpu.data_loading.device_augment import train_pipeline
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    root = tempfile.mkdtemp(prefix="dorknet_e2e_")
+    precrop = int(image * 1.25)
+    rng = np.random.RandomState(0)
+    try:
+        for cls in range(classes):
+            d = os.path.join(root, f"class{cls}", "images")
+            os.makedirs(d)
+            for i in range(40):
+                im = rng.randint(0, 255, (300, 300, 3), dtype=np.uint8)
+                cv2.imwrite(os.path.join(d, f"{i}.jpg"), im)
+
+        pp = ImagePreprocessor((image, image), crop_mode="random",
+                               precrop_size=(precrop, precrop))
+        loader = ImageDataLoader(root, batch_size=batch_size, preprocessor=pp,
+                                 class_balance=False, num_workers=1,
+                                 use_native_loader=True, emit_hwc_uint8=True)
+        dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+        try:
+            np.random.seed(0)
+            net = ResNet18("bench-e2e", num_classes=classes)
+            trainer = Trainer(net, SGDMomentum(net, 0.064, 0.9),
+                              input_layout="NHWC")
+            key = jax.random.PRNGKey(0)
+
+            def run(n):
+                nonlocal key
+                loss = None
+                for X_u8, _, oh in device_prefetch(loader.pull_batch(n), size=2):
+                    key, k = jax.random.split(key)
+                    Xb, ohb = train_pipeline(k, X_u8, oh, (image, image),
+                                             output_layout="NHWC", **AUG_ARGS)
+                    loss, _ = trainer.step(Xb, ohb)
+                return float(loss)  # hard sync
+
+            run(2)  # compile + warm the queue
+            t0 = time.perf_counter()
+            run(steps)
+            dt = (time.perf_counter() - t0) / steps
+        finally:
+            dorknet_tpu.set_compute_dtype(jnp.float32)
+            loader.stop_thread()
+
+        trained_ips = 2 * batch_size / dt  # mixup: 2x trained images per batch
+        decode_ips = batch_size / dt
+        log(f"e2e loader->prefetch->aug->train: {dt * 1e3:.1f} ms/step, "
+            f"{trained_ips:.0f} trained img/s ({decode_ips:.0f} decoded img/s "
+            f"on {os.cpu_count()} host core(s))")
+        return trained_ips
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120,
@@ -302,6 +434,33 @@ def main():
             log(f"CAM bench failed: {e}")
     else:
         log("skipping CAM config (time budget)")
+    # input-pipeline metrics (VERDICT r1 item 3) — before the stretch zoo so
+    # they survive the budget
+    if time_left() > 120:
+        try:
+            aug_ips, tr_ips = bench_aug_vs_train_interleaved()
+            results["aug_device_ips"] = round(aug_ips, 1)
+            results["aug_vs_train_ratio"] = round(aug_ips / tr_ips, 2)
+        except Exception as e:
+            log(f"aug-vs-train bench failed: {e}")
+    else:
+        log("skipping aug-vs-train config (time budget)")
+    if time_left() > 120:
+        try:
+            results["e2e_train_ips"] = round(bench_e2e_train(), 1)
+        except Exception as e:
+            log(f"e2e bench failed: {e}")
+    else:
+        log("skipping e2e config (time budget)")
+    if time_left() > 90:
+        try:
+            host_ips, dev_ips = bench_aug_pipeline()
+            results["aug_host_ips"] = round(host_ips, 1)
+            results["aug_device_planes_ips"] = round(dev_ips, 1)
+        except Exception as e:
+            log(f"aug bench failed: {e}")
+    else:
+        log("skipping aug config (time budget)")
     # stretch zoo diagnostics (224px, not the headline metric)
     for m in ("mobilenet_v2", "resnet50"):
         if time_left() > 180:
@@ -313,15 +472,6 @@ def main():
                 log(f"{m} failed: {e}")
         else:
             log(f"skipping {m} (time budget)")
-    if time_left() > 120:
-        try:
-            host_ips, dev_ips = bench_aug_pipeline()
-            results["aug_host_ips"] = round(host_ips, 1)
-            results["aug_device_ips"] = round(dev_ips, 1)
-        except Exception as e:
-            log(f"aug bench failed: {e}")
-    else:
-        log("skipping aug config (time budget)")
 
     # the tunnel's health fluctuates within a run — re-measure the primary
     # config at the end and keep the best observation

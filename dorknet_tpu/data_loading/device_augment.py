@@ -332,6 +332,180 @@ def augment_image(key, im, out_hw, hsv_pert_tuples=None, rotation_tuple=None,
     return im
 
 
+# --------------------------------------------------------------------- #
+# Batched "planes" path (round 2) — the production pipeline.
+#
+# The vmapped per-image paths above are kept as oracles, but they are slow on
+# TPU: per-image dynamic slices lower to gathers, and HWC keeps C=3 in the
+# 128-wide lane dimension. This path processes the WHOLE batch as (B, 3, H, W)
+# planes (W in lanes, ~88% utilisation at 225px) and implements every
+# data-dependent spatial move as a BARREL SHIFT — ceil(log2(range)) rounds of
+# {static roll, elementwise select} — so the entire augmentation stack is
+# static slices + elementwise ops: no gathers, no per-image program, fully
+# fused by XLA at HBM bandwidth.
+# --------------------------------------------------------------------- #
+
+def _barrel_shift(x, t, axis, nbits):
+    """Variable LEFT shift along ``axis``: out[..., i, ...] = x[..., i+t, ...].
+
+    ``t`` int32 >= 0, broadcastable to x with size 1 on ``axis``. Zero fill
+    is the caller's responsibility: reads must land in zero margins (rolled
+    wrap-around elements are harmless iff the wrapped region is zero, which
+    the padding schemes below guarantee)."""
+    for j in range(nbits):
+        rolled = jnp.roll(x, -(1 << j), axis=axis)
+        x = jnp.where(((t >> j) & 1).astype(bool), rolled, x)
+    return x
+
+
+def _shift_resample(x, t_float, axis, nbits):
+    """1-D bilinear resample: out = lerp(x at index i + t_float) via a barrel
+    shift by floor(t) and one +1-neighbour lerp.
+
+    Dtype-preserving: integer inputs run the shift rounds at 1 byte/pixel
+    (the whole point — 4x less HBM traffic than fp32), lerp in bfloat16, and
+    round back, mirroring cv2's fixed-point warp rounding."""
+    t0 = jnp.floor(t_float)
+    frac = t_float - t0
+    x0 = _barrel_shift(x, t0.astype(jnp.int32), axis, nbits)
+    x1 = jnp.roll(x0, -1, axis=axis)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        frac = frac.astype(jnp.bfloat16)
+        out = ((1.0 - frac) * x0.astype(jnp.bfloat16)
+               + frac * x1.astype(jnp.bfloat16))
+        return (out + 0.5).astype(x.dtype)  # round half up, cv2-style
+    frac = frac.astype(x.dtype)
+    return (1.0 - frac) * x0 + frac * x1
+
+
+def crop_batch_planes(x, r, c, out_hw):
+    """x (B,C,H,W), integer per-image origins r,c (B,) -> (B,C,oh,ow)."""
+    oh, ow = out_hw
+    H, W = x.shape[2], x.shape[3]
+    if H > oh:
+        x = _barrel_shift(x, r[:, None, None, None], axis=2,
+                          nbits=int(H - oh).bit_length())
+        x = x[:, :, :oh]  # shrink before the column rounds
+    if W > ow:
+        x = _barrel_shift(x, c[:, None, None, None], axis=3,
+                          nbits=int(W - ow).bit_length())
+        x = x[:, :, :, :ow]
+    return x[:, :, :oh, :ow]
+
+
+def hsv_batch_planes(x, scales):
+    """HSV perturbation on (B,3,H,W) BGR planes with per-image scale vectors
+    (B,3) — pure elementwise over full-lane (B,H,W) planes. Same numerics as
+    hsv_perturb (the cv2-matched HWC oracle), including the H<=179 clip."""
+    h, s, v = _bgr_to_hsv_chw(jnp.moveaxis(x, 1, 0))
+    sh, ss, sv = (scales[:, i][:, None, None] for i in range(3))
+    h = jnp.clip(h * sh, 0.0, 179.0)
+    s = jnp.clip(s * ss, 0.0, 255.0)
+    v = jnp.clip(v * sv, 0.0, 255.0)
+    return jnp.clip(jnp.moveaxis(_hsv_to_bgr_chw(h, s, v), 0, 1), 0.0, 255.0)
+
+
+def _shear_pad(rotation_tuple, H, W):
+    """Static zero-margin width covering the worst-case shear displacement
+    for the angle range (same bound as rotate_shear)."""
+    max_t = max(abs(rotation_tuple[0]), abs(rotation_tuple[1])) * math.pi / 180.0
+    return int(math.ceil(max(math.tan(max_t / 2.0), math.sin(max_t))
+                         * max(H, W) / 2.0)) + 2
+
+
+def rotate_batch_planes(x, deg, rotation_tuple):
+    """Per-image three-shear rotation on (B,C,H,W) planes, angles ``deg`` (B,).
+
+    Each shear is out[i] = lerp(in[i + t]) with t = coef*(coord - centre):
+    t can be negative, so the array is padded by P on both sides, statically
+    rolled by +P, then barrel-shifted by t+P in [2, 2P-2] — all reads land in
+    zero margins (wrap-around only ever moves zeros). Geometry matches
+    rotate_shear / the cv2-matched gather ``rotate`` within interpolation
+    tolerance."""
+    B, C, H, W = x.shape
+    theta = deg * jnp.pi / 180.0
+    a = -jnp.tan(theta / 2.0)  # (B,)
+    b = jnp.sin(theta)
+    cy, cx = H / 2.0, W / 2.0
+    P = _shear_pad(rotation_tuple, H, W)
+    # shifts land in [2, 2P-2] (coef*half-extent <= P-2 by construction of
+    # _shear_pad), so the top bit of 2P is never set
+    nbits = int(2 * P - 2).bit_length()
+
+    x = jnp.pad(x, ((0, 0), (0, 0), (P, P), (P, P)))
+    x_orig = jax.lax.broadcasted_iota(jnp.float32, (W + 2 * P,), 0) - P
+
+    def shear_w(img, coef, y_coords):  # in_x = out_x + coef*(y - cy)
+        t = coef[:, None, None, None] * (y_coords - cy)[None, None, :, None] + P
+        return _shift_resample(jnp.roll(img, P, axis=3), t, axis=3, nbits=nbits)
+
+    def shear_h(img, coef):  # in_y = out_y + coef*(x - cx)
+        t = coef[:, None, None, None] * (x_orig - cx)[None, None, None, :] + P
+        return _shift_resample(jnp.roll(img, P, axis=2), t, axis=2, nbits=nbits)
+
+    y_pad = jax.lax.broadcasted_iota(jnp.float32, (H + 2 * P,), 0) - P
+    y_content = jax.lax.broadcasted_iota(jnp.float32, (H,), 0)
+    x = shear_w(x, a, y_pad)
+    # the W-shears never mix rows, so only the H content rows survive to the
+    # output — slice them off right after the row-mixing shear
+    x = shear_h(x, b)[:, :, P:P + H]
+    x = shear_w(x, a, y_content)
+    return x[:, :, :, P:P + W]
+
+
+def flip_batch_planes(x, do):
+    """Per-image horizontal flip on (B,C,H,W): boolean vector select."""
+    return jnp.where(do[:, None, None, None], x[..., ::-1], x)
+
+
+def draw_batch_params(key, batch, precrop_hw, out_hw, hsv_pert_tuples=None,
+                      rotation_tuple=None, horizontal_flip_prob=None,
+                      crop_mode="random"):
+    """Per-image augmentation parameters as (B,) vectors — the same
+    distributions the per-image oracle path draws."""
+    k_r, k_c, k_hsv, k_rot, k_flip = jax.random.split(key, 5)
+    p = {}
+    if crop_mode == "random":
+        p["crop_r"] = jax.random.randint(
+            k_r, (batch,), 0, max(precrop_hw[0] - out_hw[0], 1))
+        p["crop_c"] = jax.random.randint(
+            k_c, (batch,), 0, max(precrop_hw[1] - out_hw[1], 1))
+    if hsv_pert_tuples is not None:
+        lo = jnp.array([t[0] for t in hsv_pert_tuples], jnp.float32)
+        hi = jnp.array([t[1] for t in hsv_pert_tuples], jnp.float32)
+        p["hsv_scales"] = jax.random.uniform(
+            k_hsv, (batch, 3), minval=lo, maxval=hi)
+    if rotation_tuple is not None:
+        p["deg"] = jax.random.uniform(k_rot, (batch,),
+                                      minval=rotation_tuple[0],
+                                      maxval=rotation_tuple[1])
+    if horizontal_flip_prob is not None:
+        p["flip"] = jax.random.uniform(k_flip, (batch,)) < horizontal_flip_prob
+    return p
+
+
+def augment_batch_planes(x, params, out_hw, hsv_pert_tuples=None,
+                         rotation_tuple=None, horizontal_flip_prob=None,
+                         crop_mode="random"):
+    """Whole-batch augmentation chain on (B,C,H,W) planes in the reference's
+    order (crop -> HSV -> rotate -> flip), driven by explicit ``params``
+    (see draw_batch_params) so it is directly testable against the per-image
+    oracles."""
+    if crop_mode == "random":
+        x = crop_batch_planes(x, params["crop_r"], params["crop_c"], out_hw)
+    elif crop_mode == "center":
+        H, W = x.shape[2], x.shape[3]
+        r0, c0 = (H - out_hw[0]) // 2, (W - out_hw[1]) // 2
+        x = x[:, :, r0:r0 + out_hw[0], c0:c0 + out_hw[1]]
+    if hsv_pert_tuples is not None:
+        x = hsv_batch_planes(x, params["hsv_scales"])
+    if rotation_tuple is not None:
+        x = rotate_batch_planes(x, params["deg"], rotation_tuple)
+    if horizontal_flip_prob is not None:
+        x = flip_batch_planes(x, params["flip"])
+    return x
+
+
 @partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
                                    "horizontal_flip_prob", "crop_mode"))
 def augment_batch(key, images, out_hw, hsv_pert_tuples=None, rotation_tuple=None,
@@ -354,8 +528,9 @@ def mixup_pair(key, X, one_hot, mixup_lo, mixup_hi):
     lam = jax.random.uniform(k_lam, (), minval=mixup_lo, maxval=mixup_hi)
     perm = jax.random.permutation(k_perm, X.shape[0])
     Xm, ym = X[perm], one_hot[perm]
-    X_a = lam * Xm + (1 - lam) * X
-    X_b = lam * X + (1 - lam) * Xm
+    lamX = lam.astype(X.dtype)  # don't let an f32 scalar upcast bf16 batches
+    X_a = lamX * Xm + (1 - lamX) * X
+    X_b = lamX * X + (1 - lamX) * Xm
     y_a = lam * ym + (1 - lam) * one_hot
     y_b = lam * one_hot + (1 - lam) * ym
     return jnp.concatenate([X_a, X_b]), jnp.concatenate([y_a, y_b])
@@ -363,16 +538,58 @@ def mixup_pair(key, X, one_hot, mixup_lo, mixup_hi):
 
 @partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
                                    "horizontal_flip_prob", "crop_mode", "mixup",
-                                   "output_layout", "internal_layout"))
+                                   "output_layout", "internal_layout",
+                                   "aug_dtype"))
 def train_pipeline(key, images_precrop, one_hot, out_hw,
                    hsv_pert_tuples=None, rotation_tuple=None,
                    horizontal_flip_prob=None, crop_mode="random",
-                   mixup=None, output_layout="NCHW", internal_layout="HWC"):
+                   mixup=None, output_layout="NCHW", internal_layout="planes",
+                   aug_dtype="bfloat16"):
     """precrop-size BGR batch (B,H,W,C in [0,255]) → augmented, optionally
-    mixed-up, -128-shifted float32 training batch in one jitted program.
+    mixed-up, -128-shifted training batch in one jitted program.
     output_layout="NHWC" pairs with Trainer(input_layout="NHWC") to avoid a
-    round-trip transpose (NHWC is the internal compute layout)."""
+    round-trip transpose (NHWC is the internal compute layout).
+
+    internal_layout="planes" (default) is the batched barrel-shift pipeline —
+    no per-image vmap, no gathers; "HWC"/"CHW" are the round-1 vmapped
+    per-image paths kept as oracles.
+
+    aug_dtype (planes path only): dtype for the float stages (HSV/rotation/
+    flip/mixup). The default bfloat16 halves HBM traffic; its ~0.4% rounding
+    is below the uint8 quantisation the reference's cv2 path already applies.
+    Pass uint8 images to keep the crop stage (and the host->device copy) at
+    1 byte/pixel; pass "float32" for oracle-exact numerics."""
     k_aug, k_mix = jax.random.split(key)
+    if internal_layout == "planes":
+        x = jnp.transpose(images_precrop, (0, 3, 1, 2))
+        params = draw_batch_params(k_aug, x.shape[0], x.shape[2:], out_hw,
+                                   hsv_pert_tuples, rotation_tuple,
+                                   horizontal_flip_prob, crop_mode)
+        # Spatial stages (crop/rotate/flip) run in the INPUT dtype: with uint8
+        # images that is 1 byte/pixel of HBM traffic, and matches cv2, which
+        # quantises to uint8 after every stage (the HSV result is rounded back
+        # to uint8 for the same reason). Only HSV itself runs in aug_dtype.
+        quantise = jnp.issubdtype(x.dtype, jnp.integer)
+        if crop_mode == "random":
+            x = crop_batch_planes(x, params["crop_r"], params["crop_c"], out_hw)
+        elif crop_mode == "center":
+            H, W = x.shape[2], x.shape[3]
+            r0, c0 = (H - out_hw[0]) // 2, (W - out_hw[1]) // 2
+            x = x[:, :, r0:r0 + out_hw[0], c0:c0 + out_hw[1]]
+        if hsv_pert_tuples is not None:
+            hsv = hsv_batch_planes(x.astype(aug_dtype), params["hsv_scales"])
+            x = (hsv + 0.5).astype(x.dtype) if quantise else hsv
+        if rotation_tuple is not None:
+            x = rotate_batch_planes(x, params["deg"], rotation_tuple)
+        if horizontal_flip_prob is not None:
+            x = flip_batch_planes(x, params["flip"])
+        x = x.astype(aug_dtype) - 128.0
+        if mixup is not None:
+            x, one_hot = mixup_pair(k_mix, x, one_hot,
+                                    float(mixup[0]), float(mixup[1]))
+        if output_layout == "NHWC":
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        return x, one_hot
     if internal_layout == "CHW":
         # experimental: C=3 in the lane dim wastes most of the VPU; W-in-lanes
         # avoids that but the per-row resampling pattern changes too —

@@ -295,3 +295,86 @@ def test_train_pipeline_chw_variant():
         crop_mode="random", mixup=(0.0, 0.3), internal_layout="CHW")
     assert X.shape == (8, 3, 32, 32)
     assert float(jnp.min(X)) >= -128.0 and float(jnp.max(X)) <= 127.0 + 1e-3
+
+
+# ------------- batched planes path vs the per-image oracles ------------- #
+
+def _planes(imgs_hwc):
+    return jnp.transpose(jnp.asarray(imgs_hwc), (0, 3, 1, 2))
+
+
+def test_batched_crop_matches_numpy_slices():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (5, 40, 44, 3)).astype(np.float32)
+    r = np.array([0, 3, 7, 2, 5], np.int32)
+    c = np.array([11, 0, 4, 9, 1], np.int32)
+    out = np.asarray(da.crop_batch_planes(_planes(imgs), jnp.asarray(r),
+                                          jnp.asarray(c), (32, 32)))
+    for i in range(5):
+        ref = imgs[i, r[i]:r[i] + 32, c[i]:c[i] + 32, :].transpose(2, 0, 1)
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_batched_hsv_matches_hwc_oracle():
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (4, 24, 24, 3)).astype(np.float32)
+    scales = np.array([[1.05, 0.7, 1.6], [0.92, 1.9, 0.55],
+                       [1.0, 1.0, 1.0], [1.1, 0.5, 2.0]], np.float32)
+    out = np.asarray(da.hsv_batch_planes(_planes(imgs), jnp.asarray(scales)))
+    for i in range(4):
+        # fixed-scale tuples make the HWC oracle deterministic
+        tuples = tuple((float(s), float(s)) for s in scales[i])
+        ref = np.asarray(da.hsv_perturb(jax.random.PRNGKey(0),
+                                        jnp.asarray(imgs[i]), tuples))
+        np.testing.assert_allclose(out[i].transpose(1, 2, 0), ref, atol=1e-2)
+
+
+def test_batched_rotate_matches_gather_oracle():
+    yy, xx = np.mgrid[0:48, 0:48]
+    im = np.stack([xx * 2.0, yy * 2.0, (xx + yy) * 1.0], -1).astype(np.float32)
+    imgs = np.stack([im, im[::-1].copy()])
+    degs = np.array([9.0, -13.0], np.float32)
+    out = np.asarray(da.rotate_batch_planes(_planes(imgs), jnp.asarray(degs),
+                                            (-15.0, 15.0)))
+    for i in range(2):
+        ref = np.asarray(da.rotate(jax.random.PRNGKey(0), jnp.asarray(imgs[i]),
+                                   (float(degs[i]), float(degs[i]))))
+        inner = (slice(10, -10), slice(10, -10))
+        diff = np.abs(out[i].transpose(1, 2, 0)[inner] - ref[inner])
+        assert np.median(diff) < 0.05, np.median(diff)
+
+
+def test_batched_flip():
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (3, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(da.flip_batch_planes(
+        _planes(imgs), jnp.asarray([True, False, True])))
+    np.testing.assert_array_equal(out[0], imgs[0, :, ::-1].transpose(2, 0, 1))
+    np.testing.assert_array_equal(out[1], imgs[1].transpose(2, 0, 1))
+    np.testing.assert_array_equal(out[2], imgs[2, :, ::-1].transpose(2, 0, 1))
+
+
+def test_train_pipeline_planes_default_full_stack():
+    """The default (planes) pipeline: shape/range contract, determinism, and
+    agreement with the vmapped HWC path's output DISTRIBUTION contract
+    (same static config, both produce valid -128-shifted crops)."""
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (6, 40, 40, 3)).astype(np.float32)
+    oh = np.eye(5, dtype=np.float32)[rng.randint(0, 5, 6)]
+    kw = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+              rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+              crop_mode="random", mixup=(0.0, 0.3))
+    X, y = da.train_pipeline(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                             jnp.asarray(oh), (32, 32), **kw)
+    assert X.shape == (12, 3, 32, 32) and y.shape == (12, 5)
+    assert float(jnp.min(X)) >= -128.0 and float(jnp.max(X)) <= 127.0 + 1e-3
+    np.testing.assert_allclose(np.asarray(y).sum(1), 1.0, atol=1e-5)
+    X2, _ = da.train_pipeline(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                              jnp.asarray(oh), (32, 32), **kw)
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(X2))
+    # NHWC output pairing
+    Xn, _ = da.train_pipeline(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                              jnp.asarray(oh), (32, 32),
+                              output_layout="NHWC", **kw)
+    np.testing.assert_array_equal(np.asarray(Xn),
+                                  np.asarray(X).transpose(0, 2, 3, 1))
