@@ -366,15 +366,52 @@ def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120
     return out
 
 
-def bench_cam_p50(runs=20):
+def _device_time_ms(thunk, runs=5):
+    """Total on-device ms per run of ``thunk`` via a jax.profiler trace —
+    separates device compute from tunnel/dispatch wall time. Returns None if
+    the trace can't be taken/parsed (e.g. no profiler on the platform)."""
+    import glob
+    import gzip
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dorknet_prof_")
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(runs):
+                thunk()
+        ev = []
+        for p in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+            with gzip.open(p, "rt") as f:
+                ev.extend(json.load(f).get("traceEvents", []))
+        pidname = {e["pid"]: e["args"].get("name", "") for e in ev
+                   if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, n in pidname.items()
+                    if "TPU" in n or "tpu" in n or "device" in n.lower()}
+        # top-level jit slices only (children are nested fusions)
+        tot = sum(e.get("dur", 0) for e in ev
+                  if e.get("ph") == "X" and e.get("pid") in dev_pids
+                  and e.get("name", "").startswith("jit_"))
+        return tot / runs / 1e3 if tot else None
+    except Exception as e:
+        log(f"  (device-time trace failed: {e})")
+        return None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def bench_cam_p50(runs=20, batch=16):
     """CAM inference latency: scores + res8 tap + projection for top-3 classes,
-    single image, one jitted call (reference CAM flow, SURVEY §3.3)."""
+    one jitted call (reference CAM flow, SURVEY §3.3). Reports wall p50 AND
+    on-device ms (profiler) for B=1, plus the batched path's per-image cost —
+    the dispatch/tunnel overhead amortises across the batch."""
     from dorknet_tpu.models import ResNet18
-    from dorknet_tpu.cam import compute_cam_scores
+    from dorknet_tpu.cam import compute_cam_scores, compute_cam_scores_batch
 
     np.random.seed(0)
     net = ResNet18("cam-bench")
     X = jax.device_put(np.random.randn(1, 3, 225, 225).astype(np.float32))
+    Xb = jax.device_put(np.random.randn(batch, 3, 225, 225).astype(np.float32))
 
     scores, cams = compute_cam_scores(net, X, top_k=3)
     np.asarray(cams)  # compile + sync
@@ -385,8 +422,23 @@ def bench_cam_p50(runs=20):
         np.asarray(cams)  # value fetch = hard sync
         lat.append(time.perf_counter() - t0)
     p50 = sorted(lat)[len(lat) // 2] * 1e3
-    log(f"CAM p50: {p50:.2f} ms")
-    return p50
+    dev_ms = _device_time_ms(
+        lambda: np.asarray(compute_cam_scores(net, X, top_k=3)[1]))
+    log(f"CAM B=1 p50: {p50:.2f} ms wall"
+        + (f", {dev_ms:.2f} ms on-device" if dev_ms else ""))
+
+    _, cb = compute_cam_scores_batch(net, Xb, top_k=3)
+    np.asarray(cb)  # compile + sync
+    blat = []
+    for _ in range(max(3, runs // 4)):
+        t0 = time.perf_counter()
+        _, cb = compute_cam_scores_batch(net, Xb, top_k=3)
+        np.asarray(cb)
+        blat.append(time.perf_counter() - t0)
+    bp50 = sorted(blat)[len(blat) // 2] * 1e3
+    log(f"CAM batched B={batch}: {bp50:.2f} ms/dispatch = "
+        f"{bp50 / batch:.2f} ms/image")
+    return p50, dev_ms, bp50 / batch
 
 
 def main():
@@ -429,7 +481,11 @@ def main():
         log("skipping multi_step config (time budget)")
     if time_left() > 90:
         try:
-            results["cam_p50_ms"] = round(bench_cam_p50(runs=10), 2)
+            p50, dev_ms, per_img = bench_cam_p50(runs=10)
+            results["cam_p50_ms"] = round(p50, 2)
+            if dev_ms:
+                results["cam_device_ms"] = round(dev_ms, 2)
+            results["cam_batched_ms_per_image"] = round(per_img, 2)
         except Exception as e:
             log(f"CAM bench failed: {e}")
     else:

@@ -16,6 +16,19 @@ import jax.numpy as jnp
 
 from dorknet_tpu.layers.base import to_nhwc
 
+def _prune_cam_cache(net):
+    """The jit cache lives ON the network (bounded by its lifetime); entries
+    for older structure versions are dropped. Single-image keys lead with the
+    version int; batched keys lead with the "batch" marker."""
+    cache = getattr(net, "_cam_cache", None)
+    if cache is None:
+        cache = net._cam_cache = {}
+    version_of = lambda k: k[1] if k[0] == "batch" else k[0]  # noqa: E731
+    for k in [k for k in cache if version_of(k) != net._version]:
+        del cache[k]
+    return cache
+
+
 def _build_cam_fn(net, top_k, terminal_layer_name, out_size):
     def fn(params, states, X):
         x = to_nhwc(X)
@@ -57,17 +70,69 @@ def compute_cam_scores(net, X, top_k=3, terminal_layer_name="res8", out_size=225
     # collectable.
     key = (net._version, top_k, terminal_layer_name, out_size,
            tuple(l._trace_signature() for l in net.layers))
-    cache = getattr(net, "_cam_cache", None)
-    if cache is None:
-        cache = net._cam_cache = {}
-    stale = [k for k in cache if k[0] != net._version]
-    for k in stale:
-        del cache[k]
+    cache = _prune_cam_cache(net)
     if key not in cache:
         cache[key] = _build_cam_fn(net, top_k, terminal_layer_name, out_size)
     fn = cache[key]
     scores, top, cam = fn(net.gather_params(), net.gather_states(),
                           jnp.asarray(X, jnp.float32))
+    return scores, cam
+
+
+def _build_cam_batch_fn(net, top_k, terminal_layer_name, out_size):
+    from dorknet_tpu.ops.loss import softmax_probs
+
+    def one_image(params, states, x1):
+        # x1 (3,H,W) -> per-image forwards with a batch of ONE, so the tap's
+        # batch-stat normalisation sees only this image — exactly the
+        # reference's per-image CAM semantics, vectorised by vmap.
+        x = to_nhwc(x1[None])
+        out, _, _, _, _ = net._run_layers(params, states, x, train=False)
+        scores = softmax_probs(out)[0]
+        _, _, _, _, tapped = net._run_layers(
+            params, states, x, train=True,
+            terminal_layer_name=terminal_layer_name)
+        return scores, tapped[0]
+
+    def fn(params, states, X):
+        scores, feats = jax.vmap(one_image, in_axes=(None, None, 0))(
+            params, states, X)  # (N,classes), (N,H,W,C)
+        dense_w = None
+        for l, p in zip(net.layers, params):
+            if l.layer_name == "dense1" or l.__class__.__name__ == "DenseLayer":
+                dense_w = p["weights"]  # (C, num_classes)
+        top = jnp.argsort(scores, axis=1)[:, ::-1][:, :top_k]  # (N, top_k)
+        w_sel = dense_w.T[top]  # (N, top_k, C)
+        cam = jnp.einsum("nkc,nhwc->nkhw", w_sel, feats)
+        N, K = cam.shape[:2]
+        cam = jax.image.resize(cam, (N, K, out_size, out_size),
+                               method="bilinear")
+        cam = jnp.maximum(cam, 0)
+        cam = cam - jnp.min(cam, axis=(2, 3), keepdims=True)
+        mx = jnp.max(cam, axis=(2, 3), keepdims=True)
+        cam = jnp.where(mx > 0, cam / mx, cam)
+        return scores, top, cam
+
+    return jax.jit(fn)
+
+
+def compute_cam_scores_batch(net, X, top_k=3, terminal_layer_name="res8",
+                             out_size=225):
+    """Batched CAM: N images per dispatch, amortising the per-dispatch host
+    latency that dominates single-image CAM on tunneled/remote devices.
+
+    X (N,3,H,W). Returns (scores (N,num_classes), cams (N,top_k,S,S)), each
+    image's maps ordered by its own descending class score. Tap semantics
+    match the reference exactly (per-image batch statistics, no BN state
+    mutation) via a vmapped batch-of-one forward."""
+    key = ("batch", net._version, top_k, terminal_layer_name, out_size,
+           tuple(l._trace_signature() for l in net.layers))
+    cache = _prune_cam_cache(net)
+    if key not in cache:
+        cache[key] = _build_cam_batch_fn(net, top_k, terminal_layer_name,
+                                         out_size)
+    scores, top, cam = cache[key](net.gather_params(), net.gather_states(),
+                                  jnp.asarray(X, jnp.float32))
     return scores, cam
 
 

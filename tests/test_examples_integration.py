@@ -146,6 +146,22 @@ def test_cam_pipeline_on_trained_tiny_net(tmp_path):
     cam_host = returnCAM(np.asarray(feats), w, best, size_upsample=(32, 32))
     np.testing.assert_allclose(np.stack(cam_host), c, rtol=1e-3, atol=1e-3)
 
+    # batched CAM (N images per dispatch) matches per-image CAM exactly:
+    # the vmapped batch-of-one tap reproduces per-image batch statistics
+    from dorknet_tpu.cam import compute_cam_scores_batch
+
+    scores_b, cams_b = compute_cam_scores_batch(
+        net2, X[:4], top_k=3, terminal_layer_name="res8", out_size=32)
+    assert np.asarray(scores_b).shape == (4, 4)
+    assert np.asarray(cams_b).shape == (4, 3, 32, 32)
+    for i in range(4):
+        s1, c1 = compute_cam_scores(net2, X[i:i + 1], top_k=3,
+                                    terminal_layer_name="res8", out_size=32)
+        np.testing.assert_allclose(np.asarray(scores_b)[i], np.asarray(s1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cams_b)[i], np.asarray(c1),
+                                   rtol=1e-4, atol=1e-4)
+
 
 def test_graft_entry_compiles_on_cpu():
     """entry() must stay jittable (the driver compile-checks it single-chip)."""
