@@ -517,13 +517,15 @@ def main():
             log(f"aug bench failed: {e}")
     else:
         log("skipping aug config (time budget)")
-    # stretch zoo diagnostics (224px, not the headline metric)
+    # stretch zoo (224px, b128, bf16 production policy; fp32 numbers are in
+    # PERF.md — not the headline metric)
     for m in ("mobilenet_v2", "resnet50"):
-        if time_left() > 180:
+        if time_left() > 150:
             try:
                 ips = bench_train(128, steps=6, trials=1, image=224,
-                                  classes=1000, deadline=deadline - 30, model=m)
-                results[f"train_ips_{m}_b128"] = round(ips, 1)
+                                  classes=1000, deadline=deadline - 30,
+                                  model=m, compute_dtype=jnp.bfloat16)
+                results[f"train_ips_{m}_b128_bf16"] = round(ips, 1)
             except Exception as e:
                 log(f"{m} failed: {e}")
         else:

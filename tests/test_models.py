@@ -63,3 +63,34 @@ def test_resnet18_plain_variant(tmp_path):
     net = build_resnet18_plain("r18p", num_classes=6)
     X = np.random.randn(2, 3, 64, 64).astype(np.float32)
     _one_step_and_roundtrip(net, X, 6, tmp_path)
+
+
+def _converges_on_channel_task(net, n_classes, steps, lr, signal,
+                               image=32, batch=16):
+    """Convergence smoke: class signal in channel intensity (survives GAP).
+    Deep stretch models need a gentle lr on this tiny task — higher rates
+    overflow the parity (non-max-subtracted) softmax."""
+    tr = Trainer(net, SGDMomentum(net, lr, 0.9))
+    rng = np.random.RandomState(0)
+    losses = []
+    for i in range(steps):
+        y = rng.randint(0, n_classes, batch)
+        X = rng.randn(batch, 3, image, image).astype(np.float32)
+        X += signal * y[:, None, None, None]
+        loss, _ = tr.step(X, np.eye(n_classes, dtype=np.float32)[y])
+        losses.append(float(loss))
+    head, tail = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert tail < 0.8 * head, (head, tail, losses[-5:])
+
+
+def test_mobilenet_v2_convergence_smoke():
+    np.random.seed(0)
+    _converges_on_channel_task(MobileNetV2("mnv2-conv", num_classes=4,
+                                           width_mult=0.25), 4,
+                               steps=50, lr=5e-4, signal=0.5)
+
+
+def test_resnet50_convergence_smoke():
+    np.random.seed(0)
+    _converges_on_channel_task(ResNet50("r50-conv", num_classes=4), 4,
+                               steps=60, lr=5e-4, signal=0.125)
