@@ -228,6 +228,48 @@ def test_trainer_accumulate_step_matches_big_batch():
         np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-5, atol=1e-6)
 
 
+def test_trainer_accumulate_step_bn_free_distinct_microbatches():
+    """For a BN-free net the property users assume holds exactly:
+    accumulate_step over K DISTINCT micro-batches == one step on the
+    concatenated K*B batch (loss and gradient are both batch means, so
+    mean-of-means over equal-sized micro-batches is the big-batch mean)."""
+    def bn_free_net(seed):
+        np.random.seed(seed)
+        net = FeedForwardNetwork("bnfree")
+        net.add_layer(ConvLayer("conv1", filter_block_shape=(8, 3, 3, 3),
+                                with_bias=True, weight_regulariser=l2(1e-4),
+                                weight_initialiser="glorot_uniform"))
+        net.add_layer(ReLu("relu1"))
+        net.add_layer(GlobalAveragePoolingLayer("gap"))
+        net.add_layer(DenseLayer("dense1", incoming_chans=8, output_dim=5,
+                                 weight_regulariser=l2(1e-4),
+                                 weight_initialiser="glorot_uniform"))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+        return net
+
+    X1, _, oh1 = toy_batch(B=8, seed=3)
+    X2, _, oh2 = toy_batch(B=8, seed=4)
+    Xbig = np.concatenate([X1, X2])
+    ohbig = np.concatenate([oh1, oh2])
+
+    net_a = bn_free_net(seed=29)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    la, _ = tr_a.step(Xbig, ohbig)
+
+    net_b = bn_free_net(seed=29)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9))
+    lb = tr_b.accumulate_step(np.stack([X1, X2]), np.stack([oh1, oh2]))
+
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for name in ("conv1", "dense1"):
+        a = next(l for l in net_a.layers if l.layer_name == name)
+        b = next(l for l in net_b.layers if l.layer_name == name)
+        for pname in a.learned_params:
+            np.testing.assert_allclose(
+                np.asarray(a.learned_params[pname]),
+                np.asarray(b.learned_params[pname]), rtol=1e-5, atol=1e-6)
+
+
 def test_inference_runner_padding_and_equivalence():
     from dorknet_tpu.network import InferenceRunner
 
