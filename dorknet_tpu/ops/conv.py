@@ -82,22 +82,22 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     Lowered via ``feature_group_count=C`` — one MXU-friendly grouped conv instead
     of the reference's per-(batch,channel) scalar loops
     (reference: layers/im2col.pyx:109-139). With ``config.set_use_pallas(True)``
-    the common 3x3/stride-1 case runs the fused Pallas kernel
-    (ops/pallas/depthwise.py) with its fused custom VJP instead.
+    the 3x3 stride-1/2 cases (all the flagship's depthwise layers, fp32 or
+    bf16) run the fused Pallas kernel (ops/pallas/depthwise.py) with its fused
+    custom VJP instead.
     """
     from dorknet_tpu.config import use_pallas
 
     C = w_cfhfw.shape[0]
-    if (use_pallas() and stride == 1 and padding == 1
+    if (use_pallas() and stride in (1, 2) and padding == 1
             and w_cfhfw.shape[1:] == (3, 3)
             and (C <= 512 or C % 256 == 0)  # kernel channel-blocking precondition
-            and get_compute_dtype() == jnp.float32  # kernel is fp32-only
             and jax.default_backend() == "tpu"):
         from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
 
-        y = depthwise3x3(x, w_cfhfw)
+        y = depthwise3x3(_cast_in(x), w_cfhfw.astype(jnp.float32), stride)
         if b is not None:
-            y = y + b.reshape(1, 1, 1, -1).astype(y.dtype)
+            y = _bias_add(y, b, (1, 1, 1, -1))
         return y
     w = jnp.transpose(w_cfhfw, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C) HWIO, groups=C
     y = lax.conv_general_dilated(

@@ -44,25 +44,40 @@ def test_matmul(M, K, N):
     np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-4)
 
 
-def test_depthwise3x3_forward():
-    x = np.random.randn(2, 10, 10, 8).astype(np.float32)
+@pytest.mark.parametrize("stride,H", [(1, 10), (2, 10), (2, 9)])
+def test_depthwise3x3_forward(stride, H):
+    x = np.random.randn(2, H, H, 8).astype(np.float32)
     w = np.random.randn(8, 3, 3).astype(np.float32)
-    got = np.asarray(pdw.depthwise3x3(jnp.asarray(x), jnp.asarray(w)))
+    got = np.asarray(pdw.depthwise3x3(jnp.asarray(x), jnp.asarray(w), stride))
     ref = np.asarray(depthwise_conv2d(jnp.asarray(x), jnp.asarray(w),
-                                      None, 1, 1))
+                                      None, stride, 1))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_depthwise3x3_grads_match_xla():
-    x = np.random.randn(2, 8, 8, 8).astype(np.float32)
+def test_depthwise3x3_bf16_flow():
+    """bf16 in -> bf16 out with fp32 accumulation: matches the fp32 kernel on
+    bf16-representable inputs, and the output dtype follows the input."""
+    x = (np.random.randint(-8, 8, (2, 10, 10, 8)) / 4.0).astype(np.float32)
+    w = (np.random.randint(-8, 8, (8, 3, 3)) / 8.0).astype(np.float32)
+    y16 = pdw.depthwise3x3(jnp.asarray(x, jnp.bfloat16), jnp.asarray(w), 1)
+    assert y16.dtype == jnp.bfloat16
+    y32 = pdw.depthwise3x3(jnp.asarray(x), jnp.asarray(w), 1)
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("stride,H", [(1, 8), (2, 8), (2, 9)])
+def test_depthwise3x3_grads_match_xla(stride, H):
+    Ho = (H - 1) // stride + 1
+    x = np.random.randn(2, H, H, 8).astype(np.float32)
     w = np.random.randn(8, 3, 3).astype(np.float32)
-    dy = np.random.randn(2, 8, 8, 8).astype(np.float32)
+    dy = np.random.randn(2, Ho, Ho, 8).astype(np.float32)
 
     def loss_pallas(x_, w_):
-        return jnp.sum(pdw.depthwise3x3(x_, w_) * jnp.asarray(dy))
+        return jnp.sum(pdw.depthwise3x3(x_, w_, stride) * jnp.asarray(dy))
 
     def loss_xla(x_, w_):
-        return jnp.sum(depthwise_conv2d(x_, w_, None, 1, 1) * jnp.asarray(dy))
+        return jnp.sum(depthwise_conv2d(x_, w_, None, stride, 1) * jnp.asarray(dy))
 
     gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
     gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
