@@ -1,5 +1,7 @@
 from dorknet_tpu.network.feed_forward_network import FeedForwardNetwork
 from dorknet_tpu.network.trainer import Trainer
 from dorknet_tpu.network.inference import InferenceRunner
+from dorknet_tpu.network.quantized import QuantizedInferenceRunner
 
-__all__ = ["FeedForwardNetwork", "Trainer", "InferenceRunner"]
+__all__ = ["FeedForwardNetwork", "Trainer", "InferenceRunner",
+           "QuantizedInferenceRunner"]

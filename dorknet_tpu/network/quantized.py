@@ -1,0 +1,275 @@
+"""int8 post-training-quantised serving path.
+
+The reference serves in full fp32 (its eval loop is the test-mode forward,
+reference network/feed_forward_network.py:72-88). On TPU the MXU multiplies
+int8xint8 into int32 at twice the bf16 rate, and int8 activations halve the
+HBM traffic of the (memory-bound) CNN families this framework ships — so a
+production serving path wants post-training quantisation. This module provides
+it TPU-natively:
+
+- **weights**: per-output-channel symmetric int8 (``scale_o = max|W_o| / 127``),
+  quantised once at build time from the BN-folded network (utils/fold_bn);
+- **activations**: per-tensor symmetric int8, either *dynamic* (the scale is
+  ``max|x|/127`` computed on-device inside the same XLA program — one fused
+  reduction) or *static* after ``calibrate(batches)`` records per-layer
+  absolute maxima (EMA-free running max, the standard PTQ recipe), which lets
+  XLA fuse the quantise into the producing op's epilogue;
+- **compute**: ``lax.conv_general_dilated`` / ``jnp.dot`` with int8 operands
+  and ``preferred_element_type=int32``; the int32 output is rescaled by
+  ``s_x * scale_w`` per channel and the (folded) bias is added in fp32.
+
+Non-conv layers (pooling, activations, reshape, any BN that could not fold)
+run their ordinary ``fapply`` unchanged; ResidualBlocks are recursed into,
+quantising their inner convs and the skip projection. The public API matches
+``InferenceRunner`` (predict_probs / predict / predict_iter, fixed-shape
+compiled batches with ragged padding).
+"""
+
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dorknet_tpu.config import get_compute_dtype
+from dorknet_tpu.layers.base import to_nhwc, to_nchw
+from dorknet_tpu.network.inference import InferenceRunner
+
+_QUANT_KINDS = ("ConvLayer", "DepthwiseConvLayer", "PointwiseConvLayer",
+                "DenseLayer")
+# weight-tensor axes reduced to get one scale per OUTPUT channel, per layout:
+# ConvLayer (O,I,fh,fw); DepthwiseConvLayer (C,fh,fw); PointwiseConvLayer
+# (O,C); DenseLayer (in,out).
+_CHANNEL_AXES = {
+    "ConvLayer": (1, 2, 3),
+    "DepthwiseConvLayer": (1, 2),
+    "PointwiseConvLayer": (1,),
+    "DenseLayer": (0,),
+}
+
+
+def _quantize_weight(kind, w):
+    """-> (w_int8 in the reference layout, per-output-channel fp32 scales)."""
+    w = np.asarray(w, np.float32)
+    amax = np.abs(w).max(axis=_CHANNEL_AXES[kind])
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    if kind == "DenseLayer":
+        broadcast = scale[None, :]
+    else:
+        broadcast = scale[(slice(None),) + (None,) * (w.ndim - 1)]
+    wq = np.clip(np.rint(w / broadcast), -127, 127).astype(np.int8)
+    return wq, scale
+
+
+def _act_scale(x, static_scale):
+    """Per-tensor activation scale: static (calibrated) or dynamic max|x|."""
+    if static_scale is not None:
+        return static_scale
+    return jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / 127.0
+
+
+def _quantize_act(x, s_x):
+    q = jnp.clip(jnp.rint(x.astype(jnp.float32) / s_x), -127.0, 127.0)
+    return q.astype(jnp.int8)
+
+
+def _rescale(y_i32, s_x, scale_w, bias, bshape):
+    y = y_i32.astype(jnp.float32) * (s_x * scale_w).reshape(bshape)
+    if bias is not None:
+        y = y + bias.reshape(bshape)
+    return y.astype(get_compute_dtype())
+
+
+class QuantizedInferenceRunner(InferenceRunner):
+    """Drop-in int8 variant of InferenceRunner.
+
+    ``QuantizedInferenceRunner(net, batch_size)`` BN-folds and quantises a
+    copy of ``net`` (the original is untouched). Call ``calibrate(batches)``
+    with a few representative input batches to switch from dynamic to static
+    activation scales (faster: removes one reduction pass per quant layer).
+    """
+
+    def __init__(self, network, batch_size, batch_sharding=None, fold_bn=True):
+        self._source = network
+        self._fold = bool(fold_bn)
+        self.batch_size = int(batch_size)
+        self.batch_sharding = batch_sharding
+        self._build()
+
+    def _build(self):
+        from dorknet_tpu.utils.fold_bn import fold_batch_norms
+
+        if self._fold:
+            net = fold_batch_norms(self._source)
+        else:
+            net = copy.deepcopy(self._source)
+            for l in net.layers:
+                l._jit_cache = {}
+        self.network = net
+        self._nodes, qparams = _build_nodes(net.layers)
+        self._has_loss = net.loss_layer is not None
+        self._params = qparams
+        self._states = None
+        self._build_jit_only()
+
+    def refresh(self):
+        """Re-fold + re-quantise after further training of the source network
+        (drops any calibration — re-run calibrate())."""
+        self._build()
+
+    # -- static activation scales (PTQ calibration) ------------------------- #
+    def calibrate(self, batches):
+        """Record per-quant-layer max|activation| over ``batches`` (iterable of
+        (N,C,H,W) arrays, any N) and bake static scales. Returns the number of
+        scales set."""
+        nodes = self._nodes
+
+        def observe(qp, X):
+            x = to_nhwc(X)
+            maxes = []
+            for node, sub in zip(nodes, qp):
+                x = node(sub, x, record=maxes)
+            return jnp.stack(maxes) if maxes else jnp.zeros((0,))
+
+        fn = jax.jit(observe)
+        running = None
+        for X in batches:
+            X = np.asarray(X, np.float32)
+            chunk, _ = self._pad_to_batch(X[: self.batch_size])
+            m = np.asarray(fn(self._params, jnp.asarray(chunk)))
+            running = m if running is None else np.maximum(running, m)
+        if running is None:
+            raise ValueError("calibrate() needs at least one batch")
+        scales = [np.float32(max(v, 1e-12) / 127.0) for v in running]
+        _set_static_scales(self._params, iter(scales))
+        self._build_jit_only()
+        return len(scales)
+
+    def _build_jit_only(self):
+        nodes, has_loss = self._nodes, self._has_loss
+
+        def forward(qp, _unused_states, X):
+            x = to_nhwc(X)
+            for node, sub in zip(nodes, qp):
+                x = node(sub, x)
+            if has_loss:
+                from dorknet_tpu.ops.loss import softmax_probs
+
+                return softmax_probs(x)
+            return to_nchw(x)
+
+        self._fn = jax.jit(forward)
+
+
+# --------------------------------------------------------------------------- #
+# Node builders: each node is apply(qp, x, record=None) -> y. ``record``
+# (calibration) appends this node's max|x| BEFORE quantisation.
+# --------------------------------------------------------------------------- #
+def _build_nodes(layers):
+    nodes, qparams = [], []
+    for l in layers:
+        kind = type(l).__name__
+        if kind == "ResidualBlock":
+            node, qp = _make_residual(l)
+        elif kind in _QUANT_KINDS and l.learned_params:
+            node, qp = _make_quant(l, kind)
+        else:
+            node, qp = _make_plain(l)
+        nodes.append(node)
+        qparams.append(qp)
+    return nodes, qparams
+
+
+def _make_plain(l):
+    def apply(qp, x, record=None, _l=l):
+        y, _ = _l.fapply(qp["p"], qp["s"], x, False)
+        return y
+
+    return apply, {"p": l.get_params(), "s": l.get_state()}
+
+
+def _make_quant(l, kind):
+    wq, scale_w = _quantize_weight(kind, l.learned_params["weights"])
+    bias = (np.asarray(l.learned_params["bias"], np.float32)
+            if l.with_bias else None)
+    stride = getattr(l, "stride", 1)
+    padding = getattr(l, "padding", 0)
+
+    qp = {"wq": jnp.asarray(wq), "scale_w": jnp.asarray(scale_w),
+          "s_x": None}
+    if bias is not None:
+        qp["bias"] = jnp.asarray(bias)
+
+    if kind == "ConvLayer":
+        def compute(xq, w):
+            return lax.conv_general_dilated(
+                xq, jnp.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
+                (stride, stride), [(padding, padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+        bshape, pre = (1, 1, 1, -1), None
+    elif kind == "DepthwiseConvLayer":
+        def compute(xq, w):
+            C = w.shape[0]
+            return lax.conv_general_dilated(
+                xq, jnp.transpose(w, (1, 2, 0))[:, :, None, :],
+                (stride, stride), [(padding, padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C, preferred_element_type=jnp.int32)
+        bshape, pre = (1, 1, 1, -1), None
+    elif kind == "PointwiseConvLayer":
+        def compute(xq, w):
+            return jnp.dot(xq, w.T, preferred_element_type=jnp.int32)
+
+        def pre(x):  # reference subsample-first semantics (ops/conv.py:127)
+            return x[:, ::stride, ::stride, :] if stride > 1 else x
+        bshape = (1, 1, 1, -1)
+    else:  # DenseLayer
+        def compute(xq, w):
+            return jnp.dot(xq, w, preferred_element_type=jnp.int32)
+        bshape, pre = (1, -1), None
+
+    def apply(qp, x, record=None):
+        if pre is not None:
+            x = pre(x)
+        if record is not None:
+            record.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        s_x = _act_scale(x, qp["s_x"])
+        y = compute(_quantize_act(x, s_x), qp["wq"])
+        return _rescale(y, s_x, qp["scale_w"], qp.get("bias"), bshape)
+
+    return apply, qp
+
+
+def _make_residual(l):
+    body_nodes, body_qp = _build_nodes(l.layer_list)
+    if l.skip_projection is not None:
+        skip_node, skip_qp = _build_nodes([l.skip_projection])
+        skip_node, skip_qp = skip_node[0], skip_qp[0]
+    else:
+        skip_node, skip_qp = None, {}
+    act_node, act_qp = _make_plain(l.post_skip_activation)
+
+    def apply(qp, x, record=None):
+        h = x
+        for node, sub in zip(body_nodes, qp["layers"]):
+            h = node(sub, h, record=record)
+        skip = x if skip_node is None else skip_node(qp["skip"], x,
+                                                    record=record)
+        return act_node(qp["act"], h + skip.astype(h.dtype), record=record)
+
+    return apply, {"layers": body_qp, "skip": skip_qp, "act": act_qp}
+
+
+def _set_static_scales(qparams, scale_iter):
+    """Walk qparams in the order calibration recorded maxes (body before
+    skip, the _make_residual apply order), setting s_x on every quant node."""
+    for qp in qparams:
+        if isinstance(qp, dict) and "layers" in qp:  # residual
+            _set_static_scales(qp["layers"], scale_iter)
+            if qp["skip"]:
+                _set_static_scales([qp["skip"]], scale_iter)
+            # act is plain — no scale
+        elif isinstance(qp, dict) and "wq" in qp:
+            qp["s_x"] = jnp.float32(next(scale_iter))

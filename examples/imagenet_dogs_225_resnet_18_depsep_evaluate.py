@@ -6,7 +6,11 @@ Two modes, mirroring the reference evaluate example's behaviour:
   ./dog_images/outputs.
 
 Usage: python -m examples.imagenet_dogs_225_resnet_18_depsep_evaluate \
-           [--verify] [--checkpoint epoch_26_testacc_0.686.h5]
+           [--verify] [--checkpoint epoch_26_testacc_0.686.h5] [--int8]
+
+``--int8`` serves through the QuantizedInferenceRunner (BN-folded, per-channel
+int8 weights on the MXU) instead of the fp32 forward — the production serving
+configuration.
 """
 
 import argparse
@@ -31,21 +35,30 @@ def load_trained_network(checkpoint):
     return net
 
 
-def check_val_accuracy(net, preprocessor, batch_size=60):
+def check_val_accuracy(net, preprocessor, batch_size=60, runner=None):
     data_root = os.environ.get("DORKNET_DATA", os.path.expanduser("~/Datasets"))
     loader = ImageDataLoader(
         os.path.join(data_root, "ImageNet2012/ILSVRC2012_dogs/val_img"),
         batch_size, preprocessor, start_thread=True)
     try:
         n_val = 120 * 50
-        acc = net.test(loader.pull_batch(n_val // batch_size), batch_size, n_val)
+        if runner is not None:
+            correct = 0
+            for probs, y, _ in runner.predict_iter(
+                    loader.pull_batch(n_val // batch_size)):
+                correct += int((probs.argmax(axis=1) == np.asarray(y)).sum())
+            acc = correct / n_val
+        else:
+            acc = net.test(loader.pull_batch(n_val // batch_size), batch_size,
+                           n_val)
         print("Test acc: {}".format(acc))
         return acc
     finally:
         loader.stop_thread()
 
 
-def annotate_images(net, preprocessor, class_names, im_dir="./dog_images"):
+def annotate_images(net, preprocessor, class_names, im_dir="./dog_images",
+                    runner=None):
     out_dir = os.path.join(im_dir, "outputs")
     os.makedirs(out_dir, exist_ok=True)
     for fname in os.listdir(im_dir):
@@ -53,8 +66,11 @@ def annotate_images(net, preprocessor, class_names, im_dir="./dog_images"):
         if os.path.isdir(src):
             continue
         X = preprocessor.load_image(src)[None]
-        _, batch_scores = net.forward(X, y_one_hot=None, test_mode=True)
-        scores = np.asarray(batch_scores)[0]
+        if runner is not None:
+            scores = runner.predict_probs(X)[0]
+        else:
+            _, batch_scores = net.forward(X, y_one_hot=None, test_mode=True)
+            scores = np.asarray(batch_scores)[0]
         ranked = np.argsort(scores)[::-1]
         print("###########################")
         for cls in ranked[:5]:
@@ -73,12 +89,19 @@ if __name__ == "__main__":
     ap.add_argument("--verify", action="store_true",
                     help="measure val-set accuracy (needs the dataset)")
     ap.add_argument("--checkpoint", default="epoch_26_testacc_0.686.h5")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve through the int8 QuantizedInferenceRunner")
     args = ap.parse_args()
 
     with open(CLASS_MAP) as f:
         class_names = json.load(f)
     preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
     network = load_trained_network(args.checkpoint)
+    runner = None
+    if args.int8:
+        from dorknet_tpu.network import QuantizedInferenceRunner
+
+        runner = QuantizedInferenceRunner(network, batch_size=60)
     if args.verify:
-        check_val_accuracy(network, preprocessor)
-    annotate_images(network, preprocessor, class_names)
+        check_val_accuracy(network, preprocessor, runner=runner)
+    annotate_images(network, preprocessor, class_names, runner=runner)
