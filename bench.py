@@ -441,6 +441,56 @@ def bench_cam_p50(runs=20, batch=16):
     return p50, dev_ms, bp50 / batch
 
 
+def bench_inference(batch=256, runs=6, image=225, classes=120):
+    """Serving path on the flagship: BN-folded bf16 InferenceRunner vs the
+    int8 QuantizedInferenceRunner (static calibrated scales), trials
+    INTERLEAVED in one window (tunnel drift), plus the B=1 wall p50 /
+    on-device latency split (the tunnel dominates B=1 wall on this host)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.network import InferenceRunner, QuantizedInferenceRunner
+
+    np.random.seed(0)
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        net = ResNet18("bench-infer", num_classes=classes)
+        Xh = np.random.randn(batch, 3, image, image).astype(np.float32)
+        X = jax.device_put(Xh)
+        X1 = jax.device_put(Xh[:1])
+        runner = InferenceRunner(net, batch_size=batch, fold_bn=True)
+        runner.predict_probs(Xh)  # compile (B=batch) + sync
+        qr = QuantizedInferenceRunner(net, batch_size=batch)
+        qr.calibrate([Xh])  # static activation scales
+        qr.predict_probs(Xh)  # compile + sync
+        best = {"bf16": float("inf"), "int8": float("inf")}
+        for _ in range(runs):
+            for name, r in (("bf16", runner), ("int8", qr)):
+                t0 = time.perf_counter()
+                probs = r._run_fixed(X)
+                float(probs[0, 0])  # value fetch = hard sync
+                best[name] = min(best[name], time.perf_counter() - t0)
+        ips = batch / best["bf16"]
+        q_ips = batch / best["int8"]
+
+        r1 = InferenceRunner(net, batch_size=1, fold_bn=True)
+        r1.predict_probs(Xh[:1])  # compile B=1
+        lat = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            probs = r1._run_fixed(X1)
+            float(probs[0, 0])
+            lat.append(time.perf_counter() - t0)
+        p50 = sorted(lat)[len(lat) // 2] * 1e3
+        dev_ms = _device_time_ms(lambda: float(r1._run_fixed(X1)[0, 0]))
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    log(f"inference(fold_bn): b{batch} bf16 {ips:.0f} img/s, int8 {q_ips:.0f} "
+        f"img/s; B=1 p50 {p50:.2f} ms wall"
+        + (f", {dev_ms:.2f} ms on-device" if dev_ms else ""))
+    return ips, q_ips, p50, dev_ms
+
+
 def main():
     import os
     import jax.numpy as jnp
@@ -517,6 +567,20 @@ def main():
             log(f"aug bench failed: {e}")
     else:
         log("skipping aug config (time budget)")
+    # serving path (after the VERDICT-mandated pipeline metrics, before the
+    # stretch zoo)
+    if time_left() > 90:
+        try:
+            ips, q_ips, p50, dev_ms = bench_inference()
+            results["infer_ips_b256_foldbn_bf16"] = round(ips, 1)
+            results["infer_ips_b256_int8"] = round(q_ips, 1)
+            results["infer_b1_p50_ms"] = round(p50, 2)
+            if dev_ms:
+                results["infer_b1_device_ms"] = round(dev_ms, 2)
+        except Exception as e:
+            log(f"inference bench failed: {e}")
+    else:
+        log("skipping inference config (time budget)")
     # stretch zoo (224px, b128, bf16 production policy; fp32 numbers are in
     # PERF.md — not the headline metric)
     for m in ("mobilenet_v2", "resnet50"):

@@ -26,6 +26,7 @@ host→device copy with compute.
 import itertools
 import os
 import queue
+import sys
 import threading
 from multiprocessing.pool import ThreadPool
 
@@ -123,7 +124,10 @@ class ImageDataLoader:
             # flat mode: an index cycle over all samples (reshuffled by
             # shuffle_indices)
             self.index_cycle = itertools.cycle(range(len(self.samples)))
-            print("Number of samples: ", len(self.samples))
+            # the reference prints this to stdout (image_data_loader.py:38);
+            # stderr here so programmatic stdout (bench.py's JSON line,
+            # piped example output) stays clean
+            print("Number of samples: ", len(self.samples), file=sys.stderr)
 
         self.queue_thread = threading.Thread(target=self.load_batch,
                                              args=(self.class_balance,),
