@@ -21,14 +21,21 @@ from dorknet_tpu.layers.base import to_nhwc
 
 class Trainer:
     def __init__(self, network, optimiser, batch_sharding=None, param_sharding=None,
-                 remat=False, input_layout="NCHW"):
+                 remat=False, input_layout="NCHW", ema_decay=None):
         """remat=True wraps the WHOLE forward in ``jax.checkpoint`` (max memory
         saving, ~1 extra forward of FLOPs); remat="blocks" checkpoints each
         ResidualBlock individually — a finer FLOP/memory trade (block inputs
         are kept, only intra-block activations are recomputed).
 
         input_layout="NHWC" accepts batches already in the internal layout
-        (e.g. straight from device_augment) and skips the NCHW→NHWC transpose."""
+        (e.g. straight from device_augment) and skips the NCHW→NHWC transpose.
+
+        ema_decay (e.g. 0.999) maintains an exponential moving average of the
+        weights INSIDE the fused step program (zero extra dispatches — an
+        extra dispatch costs ~10 ms through this host's TPU link). The shadow
+        tree initialises to the params at the first step; read it with
+        ``ema_params()`` or serve it with ``ema_network()``. The reference has
+        no EMA; this is a production-serving addition."""
         self.network = network
         self.optimiser = optimiser
         self.batch_sharding = batch_sharding
@@ -36,12 +43,56 @@ class Trainer:
         self.remat = remat
         assert input_layout in ("NCHW", "NHWC")
         self.input_layout = input_layout
+        self.ema_decay = None if ema_decay is None else float(ema_decay)
         self._jit_cache = {}
         self._cache = None  # optimiser state over the FULL network params tree
+        self._ema = None    # shadow params tree (when ema_decay is set)
 
     def _signature(self):
         return (self.network._version, self.remat, self.input_layout,
+                self.ema_decay,
                 tuple(l._trace_signature() for l in self.network.layers))
+
+    def _ema_update(self, ema, new_params):
+        """decay*ema + (1-decay)*params, traced inside the step program.
+        When ema_decay is None this is the identity on an empty (None) tree."""
+        if self.ema_decay is None:
+            return ema
+        d = self.ema_decay
+        return jax.tree_util.tree_map(
+            lambda e, p: (d * e + (1.0 - d) * p).astype(p.dtype),
+            ema, new_params)
+
+    def _ensure_ema(self, params):
+        if self.ema_decay is not None and self._ema is None:
+            self._ema = jax.tree_util.tree_map(jnp.array, params)
+
+    def ema_params(self):
+        """A copy of the shadow (EMA) params tree — None before the first
+        step. (A copy because the live tree's buffers are donated in-place by
+        the next step.)"""
+        if self._ema is None:
+            return None
+        return jax.tree_util.tree_map(jnp.array, self._ema)
+
+    def ema_network(self):
+        """A deep copy of the network carrying the EMA weights — serve it with
+        InferenceRunner/QuantizedInferenceRunner or checkpoint it."""
+        import copy
+
+        if self._ema is None:
+            raise ValueError("no EMA yet: construct Trainer(ema_decay=...) "
+                             "and run at least one step")
+        net = copy.deepcopy(self.network)
+        for l in net.layers:
+            l._jit_cache = {}
+        # COPY the shadow buffers out: the next step donates self._ema's
+        # buffers in-place, which would invalidate a served alias
+        ema_copy = jax.tree_util.tree_map(lambda e: jnp.array(e), self._ema)
+        for l, p in zip(net.layers, ema_copy):
+            l.set_params(p)
+        net._version += 1
+        return net
 
     def _to_internal(self, X):
         return X if self.input_layout == "NHWC" else to_nhwc(X)
@@ -77,19 +128,20 @@ class Trainer:
 
             trainer = self
 
-            def step(params, states, cache, X, y_one_hot, lr):
+            def step(params, states, cache, ema, X, y_one_hot, lr):
                 grads, (loss, probs, new_states) = jax.grad(
                     lambda p: trainer._forward_loss(p, states, X, y_one_hot),
                     has_aux=True)(params)
                 new_params, new_cache = optimiser.apply_update(params, grads, cache, lr)
                 preds = jnp.argmax(probs, axis=1)
-                return new_params, new_states, new_cache, loss, preds
+                new_ema = trainer._ema_update(ema, new_params)
+                return new_params, new_states, new_cache, new_ema, loss, preds
 
             # states (argnum 1) deliberately NOT donated: they're tiny (BN
             # running stats) and user code / InferenceRunner may hold the
             # previous buffers (reference semantics allow reading
             # non_learned_params at any time)
-            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2))
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
 
     def _place_batch(self, X, y):
@@ -118,11 +170,12 @@ class Trainer:
             self._params_placed = True
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
+        self._ensure_ema(params)
         X, y_one_hot = self._place_batch(X, y_one_hot)
 
         fn = self._get_step()
-        new_params, new_states, self._cache, loss, preds = fn(
-            params, states, self._cache, X, y_one_hot,
+        new_params, new_states, self._cache, self._ema, loss, preds = fn(
+            params, states, self._cache, self._ema, X, y_one_hot,
             self.optimiser.device_lr())
 
         for l, p in zip(network.layers, new_params):
@@ -144,7 +197,7 @@ class Trainer:
             trainer = self
             optimiser = self.optimiser
 
-            def accum(params, states, cache, Xs, ys, lr):
+            def accum(params, states, cache, ema, Xs, ys, lr):
                 K = Xs.shape[0]
 
                 def body(carry, batch):
@@ -162,9 +215,10 @@ class Trainer:
                 g_mean = jax.tree_util.tree_map(lambda g: g / K, g_sum)
                 new_params, new_cache = optimiser.apply_update(
                     params, g_mean, cache, lr)
-                return new_params, new_states, new_cache, loss_sum / K
+                new_ema = trainer._ema_update(ema, new_params)
+                return new_params, new_states, new_cache, new_ema, loss_sum / K
 
-            self._jit_cache[key] = jax.jit(accum, donate_argnums=(0, 2))
+            self._jit_cache[key] = jax.jit(accum, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
 
     def accumulate_step(self, X_stack, y_stack):
@@ -187,10 +241,12 @@ class Trainer:
             self._params_placed = True
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
+        self._ensure_ema(params)
         Xs, ys = self._place_batch(X_stack, y_stack)
         fn = self._get_accum_step()
-        new_params, new_states, self._cache, loss = fn(
-            params, states, self._cache, Xs, ys, self.optimiser.device_lr())
+        new_params, new_states, self._cache, self._ema, loss = fn(
+            params, states, self._cache, self._ema, Xs, ys,
+            self.optimiser.device_lr())
         for l, p in zip(network.layers, new_params):
             l.set_params(p)
         network.scatter_states(new_states)
@@ -209,9 +265,9 @@ class Trainer:
 
             trainer = self
 
-            def multi(params, states, cache, Xs, ys, lr):
+            def multi(params, states, cache, ema, Xs, ys, lr):
                 def body(carry, batch):
-                    params, states, cache = carry
+                    params, states, cache, ema = carry
                     X, y = batch
                     grads, (loss, probs, new_states) = jax.grad(
                         lambda p: trainer._forward_loss(p, states, X, y),
@@ -219,13 +275,14 @@ class Trainer:
                     new_params, new_cache = optimiser.apply_update(
                         params, grads, cache, lr)
                     preds = jnp.argmax(probs, axis=1)
-                    return (new_params, new_states, new_cache), (loss, preds)
+                    new_ema = trainer._ema_update(ema, new_params)
+                    return (new_params, new_states, new_cache, new_ema), (loss, preds)
 
-                (params, states, cache), (losses, preds) = jax.lax.scan(
-                    body, (params, states, cache), (Xs, ys))
-                return params, states, cache, losses, preds
+                (params, states, cache, ema), (losses, preds) = jax.lax.scan(
+                    body, (params, states, cache, ema), (Xs, ys))
+                return params, states, cache, ema, losses, preds
 
-            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 2))
+            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
 
     def multi_step(self, X_stack, y_stack):
@@ -265,9 +322,11 @@ class Trainer:
         else:
             Xs, ys = self._place_batch(X_stack, y_stack)
 
+        self._ensure_ema(params)
         fn = self._get_multi_step()
-        new_params, new_states, self._cache, losses, preds = fn(
-            params, states, self._cache, Xs, ys, self.optimiser.device_lr())
+        new_params, new_states, self._cache, self._ema, losses, preds = fn(
+            params, states, self._cache, self._ema, Xs, ys,
+            self.optimiser.device_lr())
         for l, p in zip(network.layers, new_params):
             l.set_params(p)
         network.scatter_states(new_states)
