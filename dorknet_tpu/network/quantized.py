@@ -38,6 +38,13 @@ from dorknet_tpu.network.inference import InferenceRunner
 
 _QUANT_KINDS = ("ConvLayer", "DepthwiseConvLayer", "PointwiseConvLayer",
                 "DenseLayer")
+# Depthwise is excluded by default: its conv does ~9 MACs/output (no MXU
+# win to speak of) while int8 adds a requantise pass (full read+write of the
+# activation) around EVERY depthwise layer — half the flagship's layers.
+# Measured on-chip: int8 standard conv/matmul beat bf16 by 1.2-1.3x
+# *including* the requantise, but quantising the depthwise layers erased the
+# gain in the full graph (PERF.md round-2).
+_DEFAULT_QUANT_KINDS = ("ConvLayer", "PointwiseConvLayer", "DenseLayer")
 # weight-tensor axes reduced to get one scale per OUTPUT channel, per layout:
 # ConvLayer (O,I,fh,fw); DepthwiseConvLayer (C,fh,fw); PointwiseConvLayer
 # (O,C); DenseLayer (in,out).
@@ -90,11 +97,17 @@ class QuantizedInferenceRunner(InferenceRunner):
     activation scales (faster: removes one reduction pass per quant layer).
     """
 
-    def __init__(self, network, batch_size, batch_sharding=None, fold_bn=True):
+    def __init__(self, network, batch_size, batch_sharding=None, fold_bn=True,
+                 quant_kinds=_DEFAULT_QUANT_KINDS):
+        """quant_kinds selects which layer types run int8; the default skips
+        DepthwiseConvLayer (see _DEFAULT_QUANT_KINDS note). Pass
+        quant_kinds=_QUANT_KINDS (or an explicit tuple) to quantise
+        everything."""
         self._source = network
         self._fold = bool(fold_bn)
         self.batch_size = int(batch_size)
         self.batch_sharding = batch_sharding
+        self.quant_kinds = tuple(quant_kinds)
         self._build()
 
     def _build(self):
@@ -107,7 +120,7 @@ class QuantizedInferenceRunner(InferenceRunner):
             for l in net.layers:
                 l._jit_cache = {}
         self.network = net
-        self._nodes, qparams = _build_nodes(net.layers)
+        self._nodes, qparams = _build_nodes(net.layers, self.quant_kinds)
         self._has_loss = net.loss_layer is not None
         self._params = qparams
         self._states = None
@@ -166,13 +179,13 @@ class QuantizedInferenceRunner(InferenceRunner):
 # Node builders: each node is apply(qp, x, record=None) -> y. ``record``
 # (calibration) appends this node's max|x| BEFORE quantisation.
 # --------------------------------------------------------------------------- #
-def _build_nodes(layers):
+def _build_nodes(layers, kinds=_QUANT_KINDS):
     nodes, qparams = [], []
     for l in layers:
         kind = type(l).__name__
         if kind == "ResidualBlock":
-            node, qp = _make_residual(l)
-        elif kind in _QUANT_KINDS and l.learned_params:
+            node, qp = _make_residual(l, kinds)
+        elif kind in kinds and l.learned_params:
             node, qp = _make_quant(l, kind)
         else:
             node, qp = _make_plain(l)
@@ -242,10 +255,10 @@ def _make_quant(l, kind):
     return apply, qp
 
 
-def _make_residual(l):
-    body_nodes, body_qp = _build_nodes(l.layer_list)
+def _make_residual(l, kinds=_QUANT_KINDS):
+    body_nodes, body_qp = _build_nodes(l.layer_list, kinds)
     if l.skip_projection is not None:
-        skip_node, skip_qp = _build_nodes([l.skip_projection])
+        skip_node, skip_qp = _build_nodes([l.skip_projection], kinds)
         skip_node, skip_qp = skip_node[0], skip_qp[0]
     else:
         skip_node, skip_qp = None, {}

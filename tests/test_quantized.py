@@ -83,6 +83,18 @@ def test_quantized_flagship_residual_structure():
     assert (p_fp.argmax(1) == p_qs.argmax(1)).mean() == 1.0
     assert np.abs(p_fp - p_qs).max() < 0.05
 
+    # full quantisation (incl. the depthwise layers, off by default) must
+    # also track fp32 — it's the all-int8 option and covers the depthwise
+    # int8 kernel + its calibration walk
+    from dorknet_tpu.network.quantized import _QUANT_KINDS
+
+    q_all = QuantizedInferenceRunner(net, batch_size=4,
+                                     quant_kinds=_QUANT_KINDS)
+    q_all.calibrate([X])
+    p_all = q_all.predict_probs(X)
+    assert (p_fp.argmax(1) == p_all.argmax(1)).mean() == 1.0
+    assert np.abs(p_fp - p_all).max() < 0.06
+
 
 def test_quantized_int8_compute_in_graph():
     """The lowered HLO must actually contain s8 operands — i.e. the path is
