@@ -101,6 +101,9 @@ def main(image=225, classes=120, rounds=4):
                 float(loss)
                 dt = (time.perf_counter() - t0) / (inner * k)
                 best[name] = min(best.get(name, 1e9), dt)
+            # progressive snapshot — partial data survives a timeout
+            log(f"round {r}: " + "  ".join(
+                f"{n}={runs[n][1] / best[n]:.0f}img/s" for n in best))
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
 
