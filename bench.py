@@ -359,6 +359,16 @@ def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120
                 dorknet_tpu.set_compute_dtype(jnp.float32)
             if deadline is not None and time.monotonic() > deadline:
                 break
+        # profiler device time (tunnel-immune): the wall numbers above carry
+        # the host link's 10-30 ms dispatch floor and its 10-100x degradation
+        # windows; device time is what any non-tunnel host would see.
+        for name, (tr, dt) in trainers.items():
+            dorknet_tpu.set_compute_dtype(dt)
+            dms = _device_time_ms(
+                lambda tr=tr: float(tr.step(X, y)[0]), runs=4)
+            if dms:
+                best[name + "_device"] = dms / 1e3
+            dorknet_tpu.set_compute_dtype(jnp.float32)
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
     out = {k: round(batch_size / v, 1) for k, v in best.items()}
