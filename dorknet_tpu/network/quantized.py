@@ -149,9 +149,10 @@ class QuantizedInferenceRunner(InferenceRunner):
         running = None
         for X in batches:
             X = np.asarray(X, np.float32)
-            chunk, _ = self._pad_to_batch(X[: self.batch_size])
-            m = np.asarray(fn(self._params, jnp.asarray(chunk)))
-            running = m if running is None else np.maximum(running, m)
+            for i in range(0, X.shape[0], self.batch_size):
+                chunk, _ = self._pad_to_batch(X[i:i + self.batch_size])
+                m = np.asarray(fn(self._params, jnp.asarray(chunk)))
+                running = m if running is None else np.maximum(running, m)
         if running is None:
             raise ValueError("calibrate() needs at least one batch")
         scales = [np.float32(max(v, 1e-12) / 127.0) for v in running]
@@ -209,31 +210,33 @@ def _make_quant(l, kind):
     stride = getattr(l, "stride", 1)
     padding = getattr(l, "padding", 0)
 
-    qp = {"wq": jnp.asarray(wq), "scale_w": jnp.asarray(scale_w),
-          "s_x": None}
-    if bias is not None:
-        qp["bias"] = jnp.asarray(bias)
-
+    # weights are stored pre-transposed into the COMPUTE layout so the serve
+    # program carries no per-dispatch weight transpose (the train-path ops
+    # transpose at trace time because weights change; serving weights don't)
     if kind == "ConvLayer":
+        wq = np.transpose(wq, (2, 3, 1, 0))  # OIHW -> HWIO
+
         def compute(xq, w):
             return lax.conv_general_dilated(
-                xq, jnp.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
-                (stride, stride), [(padding, padding)] * 2,
+                xq, w, (stride, stride), [(padding, padding)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
         bshape, pre = (1, 1, 1, -1), None
     elif kind == "DepthwiseConvLayer":
+        C = wq.shape[0]
+        wq = np.transpose(wq, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C)
+
         def compute(xq, w):
-            C = w.shape[0]
             return lax.conv_general_dilated(
-                xq, jnp.transpose(w, (1, 2, 0))[:, :, None, :],
-                (stride, stride), [(padding, padding)] * 2,
+                xq, w, (stride, stride), [(padding, padding)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=C, preferred_element_type=jnp.int32)
         bshape, pre = (1, 1, 1, -1), None
     elif kind == "PointwiseConvLayer":
+        wq = np.ascontiguousarray(wq.T)  # (O,C) -> (C,O)
+
         def compute(xq, w):
-            return jnp.dot(xq, w.T, preferred_element_type=jnp.int32)
+            return jnp.dot(xq, w, preferred_element_type=jnp.int32)
 
         def pre(x):  # reference subsample-first semantics (ops/conv.py:127)
             return x[:, ::stride, ::stride, :] if stride > 1 else x
@@ -242,6 +245,11 @@ def _make_quant(l, kind):
         def compute(xq, w):
             return jnp.dot(xq, w, preferred_element_type=jnp.int32)
         bshape, pre = (1, -1), None
+
+    qp = {"wq": jnp.asarray(wq), "scale_w": jnp.asarray(scale_w),
+          "s_x": None}
+    if bias is not None:
+        qp["bias"] = jnp.asarray(bias)
 
     def apply(qp, x, record=None):
         if pre is not None:
