@@ -160,6 +160,26 @@ class QuantizedInferenceRunner(InferenceRunner):
         self._build_jit_only()
         return len(scales)
 
+    def get_scales(self):
+        """The static activation scales as a list of floats (None entries =
+        still dynamic). Persist these (they're a few dozen numbers) so a
+        serving process can skip calibration: fp32 checkpoint -> quantise ->
+        set_scales(saved)."""
+        out = []
+        _collect_scales(self._params, out)
+        return [None if s is None else float(s) for s in out]
+
+    def set_scales(self, scales):
+        """Bake previously-recorded activation scales (from get_scales())."""
+        scales = list(scales)
+        n_quant = len(self.get_scales())
+        if len(scales) != n_quant:
+            raise ValueError(
+                "got {} scales for {} quantised layers".format(
+                    len(scales), n_quant))
+        _set_static_scales(self._params, iter(scales))
+        self._build_jit_only()
+
     def _build_jit_only(self):
         nodes, has_loss = self._nodes, self._has_loss
 
@@ -283,6 +303,18 @@ def _make_residual(l, kinds=_QUANT_KINDS):
     return apply, {"layers": body_qp, "skip": skip_qp, "act": act_qp}
 
 
+def _collect_scales(qparams, out):
+    """Walk qparams in calibration order, appending each quant node's s_x
+    (None while dynamic)."""
+    for qp in qparams:
+        if isinstance(qp, dict) and "layers" in qp:  # residual
+            _collect_scales(qp["layers"], out)
+            if qp["skip"]:
+                _collect_scales([qp["skip"]], out)
+        elif isinstance(qp, dict) and "wq" in qp:
+            out.append(qp["s_x"])
+
+
 def _set_static_scales(qparams, scale_iter):
     """Walk qparams in the order calibration recorded maxes (body before
     skip, the _make_residual apply order), setting s_x on every quant node."""
@@ -293,4 +325,5 @@ def _set_static_scales(qparams, scale_iter):
                 _set_static_scales([qp["skip"]], scale_iter)
             # act is plain — no scale
         elif isinstance(qp, dict) and "wq" in qp:
-            qp["s_x"] = jnp.float32(next(scale_iter))
+            s = next(scale_iter)
+            qp["s_x"] = None if s is None else jnp.float32(s)

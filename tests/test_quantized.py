@@ -171,6 +171,31 @@ def test_quantized_digits_accuracy_parity():
     assert agree >= 0.97, agree
 
 
+def test_scale_persistence_roundtrip():
+    """get_scales()/set_scales(): a fresh serving process rebuilt from the
+    fp32 checkpoint plus the saved scale list must produce the exact probs
+    of the originally-calibrated runner (no calibration data needed)."""
+    from dorknet_tpu.models import MNISTNet
+
+    np.random.seed(0)
+    X = np.random.randn(16, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 16)]
+    net = _trained(MNISTNet("q-persist"), X, y)
+
+    q1 = QuantizedInferenceRunner(net, batch_size=16)
+    assert all(s is None for s in q1.get_scales())  # dynamic before calib
+    q1.calibrate([X])
+    scales = q1.get_scales()
+    assert all(s is not None and s > 0 for s in scales)
+
+    q2 = QuantizedInferenceRunner(net, batch_size=16)  # fresh process stand-in
+    q2.set_scales(scales)
+    np.testing.assert_array_equal(q1.predict_probs(X), q2.predict_probs(X))
+
+    with pytest.raises(ValueError):
+        q2.set_scales(scales[:-1])
+
+
 def test_quantized_sharded_serving_matches():
     """int8 serving under a data-sharded batch (8-device mesh) must match the
     single-device quantized outputs — the per-tensor dynamic scale is a global
