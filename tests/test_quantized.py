@@ -238,3 +238,21 @@ def test_quantized_ragged_and_refresh():
     q.refresh()
     after = q.predict_probs(X)
     assert np.abs(before - after).max() > 0  # new weights really captured
+
+
+def test_quantized_predict_iter_streams_batches():
+    """The inherited streaming API (prefetched device_put, ragged padding)
+    works against the quantised program and matches predict_probs."""
+    from dorknet_tpu.models import MNISTNet
+
+    np.random.seed(0)
+    X = np.random.randn(10, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 10)]
+    net = _trained(MNISTNet("q-iter"), X, y, steps=1)
+    q = QuantizedInferenceRunner(net, batch_size=4)
+
+    batches = [(X[:4], "a"), (X[4:8], "b"), (X[8:], "c")]  # ragged tail
+    outs = list(q.predict_iter(iter(batches)))
+    assert [tag for _, tag in outs] == ["a", "b", "c"]
+    got = np.concatenate([p for p, _ in outs], axis=0)
+    np.testing.assert_allclose(got, q.predict_probs(X), atol=1e-6)
