@@ -62,6 +62,20 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
+#if defined(JCS_EXTENSIONS) && !defined(DORKNET_NO_TURBO_BGR)
+  // libjpeg-turbo: SIMD colour conversion straight to BGR, scanlines land
+  // directly in the output buffer — no per-pixel swap loop
+  cinfo.out_color_space = JCS_EXT_BGR;
+  jpeg_start_decompress(&cinfo);
+  out->h = cinfo.output_height;
+  out->w = cinfo.output_width;
+  out->c = 3;
+  out->data.resize(size_t(out->h) * out->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rp = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+  }
+#else
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->h = cinfo.output_height;
@@ -80,6 +94,7 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
       dst[3 * x + 2] = row[3 * x + 0];
     }
   }
+#endif
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
