@@ -240,6 +240,33 @@ def test_quantized_ragged_and_refresh():
     assert np.abs(before - after).max() > 0  # new weights really captured
 
 
+@pytest.mark.parametrize("family", ["mobilenet_v2", "resnet50"])
+def test_quantized_stretch_models(family):
+    """The stretch zoo quantises too (ReLu6 / bottleneck residual / identity
+    post-skip structures) — top-1 agreement with the fp32 server."""
+    from dorknet_tpu.models import MobileNetV2, ResNet50
+
+    np.random.seed(0)
+    if family == "mobilenet_v2":
+        net = MobileNetV2("q-mnv2", num_classes=6, width_mult=0.25)
+    else:
+        net = ResNet50("q-r50", num_classes=6)
+    X = np.random.randn(4, 3, 64, 64).astype(np.float32)
+    y = np.eye(6, dtype=np.float32)[np.random.randint(0, 6, 4)]
+    net = _trained(net, X, y, steps=2, lr=0.001)
+
+    fp = InferenceRunner(net, batch_size=4, fold_bn=True)
+    q = QuantizedInferenceRunner(net, batch_size=4)
+    q.calibrate([X])
+    p_fp, p_q = fp.predict_probs(X), q.predict_probs(X)
+    assert (p_fp.argmax(1) == p_q.argmax(1)).mean() == 1.0
+    # MobileNet's narrow inverted bottlenecks are the classic PTQ-sensitive
+    # case (worse still at width 0.25) — decisions agree but probabilities
+    # drift more than the ResNet families'
+    tol = 0.12 if family == "mobilenet_v2" else 0.06
+    assert np.abs(p_fp - p_q).max() < tol
+
+
 def test_quantized_predict_iter_streams_batches():
     """The inherited streaming API (prefetched device_put, ragged padding)
     works against the quantised program and matches predict_probs."""
