@@ -95,14 +95,16 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
             log("  (stopping trials: budget)")
             break
     ips = batch_size / best
-    # device time (tunnel-immune) — take the better of wall and device: the
-    # wall number carries the host link's dispatch floor and drift
+    # device time (tunnel-immune), reported as a SEPARATE number — wall and
+    # device are different metrics (wall carries the host link's dispatch
+    # floor and drift); callers record both keys
     dms = _device_time_ms(lambda: float(trainer.step(X, y)[0]), runs=3)
-    if dms:
-        log(f"  {model} device: {dms:.2f} ms/step ({batch_size / dms * 1e3:.0f} img/s)")
-        ips = max(ips, batch_size / (dms / 1e3))
-    log(f"train {model} b={batch_size}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
-    return ips
+    dev_ips = batch_size / (dms / 1e3) if dms else None
+    if dev_ips:
+        log(f"  {model} device: {dms:.2f} ms/step ({dev_ips:.0f} img/s)")
+    log(f"train {model} b={batch_size}: best {best * 1e3:.2f} ms/step  "
+        f"{ips:.0f} img/s wall")
+    return ips, dev_ips
 
 
 def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
@@ -145,11 +147,12 @@ def _bench_multistep_inner(batch_size, k, reps, image, classes):
     ips = batch_size / best
     dms = _device_time_ms(
         lambda: float(trainer.multi_step(Xs, ys)[0][-1]), runs=2)
-    if dms:  # dms covers all k steps in the dispatch
-        log(f"  multi_step device: {dms / k:.2f} ms/step")
-        ips = max(ips, batch_size / (dms / k / 1e3))
-    log(f"multi_step(bf16) b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  {ips:.0f} img/s")
-    return ips
+    dev_ips = batch_size / (dms / k / 1e3) if dms else None  # dms covers k steps
+    if dev_ips:
+        log(f"  multi_step device: {dms / k:.2f} ms/step ({dev_ips:.0f} img/s)")
+    log(f"multi_step(bf16) b={batch_size} k={k}: best {best * 1e3:.2f} ms/step  "
+        f"{ips:.0f} img/s wall")
+    return ips, dev_ips
 
 
 AUG_ARGS = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
@@ -161,7 +164,10 @@ def bench_aug_pipeline(n_images=256, image=225):
     """Augmentation pipeline images/sec (BASELINE metric): decode-free
     measurement of the preprocess+augment stack on in-memory images — the cv2
     host path vs the on-device batched planes path (uint8 in, bf16 float
-    stages)."""
+    stages: train_pipeline's aug dtype follows the compute-dtype policy,
+    so the production bf16 policy is set for the device measurement)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
     from dorknet_tpu.data_loading import ImagePreprocessor, ImageAugmenter
     from dorknet_tpu.data_loading.device_augment import train_pipeline
 
@@ -182,16 +188,21 @@ def bench_aug_pipeline(n_images=256, image=225):
     oh = np.eye(120, dtype=np.float32)[rng.randint(0, 120, n_images)]
     Xd = jax.device_put(imgs)  # uint8 on device: 1 byte/pixel H2D + crop
     ohd = jax.device_put(oh)
-    out = train_pipeline(jax.random.PRNGKey(0), Xd, ohd, (image, image), **AUG_ARGS)
-    np.asarray(out[0][0, 0, 0, 0])  # compile+sync
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        for i in range(4):
-            out = train_pipeline(jax.random.PRNGKey(i), Xd, ohd, (image, image),
-                                 **AUG_ARGS)
-        np.asarray(out[0][0, 0, 0, 0])
-        best = min(best, (time.perf_counter() - t0) / 4)
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        out = train_pipeline(jax.random.PRNGKey(0), Xd, ohd, (image, image),
+                             **AUG_ARGS)
+        np.asarray(out[0][0, 0, 0, 0])  # compile+sync
+        best = float("inf")
+        for trial in range(3):
+            t0 = time.perf_counter()
+            for i in range(4):
+                out = train_pipeline(jax.random.PRNGKey(i), Xd, ohd,
+                                     (image, image), **AUG_ARGS)
+            np.asarray(out[0][0, 0, 0, 0])
+            best = min(best, (time.perf_counter() - t0) / 4)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
     dev_ips = n_images / best
     log(f"aug on-device(planes/bf16): {dev_ips:.0f} img/s")
     return host_ips, dev_ips
@@ -546,18 +557,25 @@ def main():
         log(f"interleaved fp32/bf16 failed: {e}")
     if time_left() > 120:
         try:
-            ips = bench_train(256, steps=8, trials=2, deadline=deadline - 30)
+            ips, dev_ips = bench_train(256, steps=8, trials=2,
+                                       deadline=deadline - 30)
             results["train_ips_b256_fp32"] = round(ips, 1)
             best = max(best, ips)
+            if dev_ips:
+                results["train_ips_b256_fp32_device"] = round(dev_ips, 1)
+                best = max(best, dev_ips)
         except Exception as e:
             log(f"b256 fp32 failed: {e}")
     else:
         log("skipping standalone fp32 config (time budget)")
     if time_left() > 180:
         try:
-            ips = bench_train_multistep(256, k=4)
+            ips, dev_ips = bench_train_multistep(256, k=4)
             results["train_ips_b256_multistep_bf16"] = round(ips, 1)
             best = max(best, ips)
+            if dev_ips:
+                results["train_ips_b256_multistep_bf16_device"] = round(dev_ips, 1)
+                best = max(best, dev_ips)
         except Exception as e:
             log(f"multi_step failed: {e}")
     else:
@@ -621,10 +639,12 @@ def main():
     for m in ("mobilenet_v2", "resnet50"):
         if time_left() > 150:
             try:
-                ips = bench_train(128, steps=6, trials=1, image=224,
-                                  classes=1000, deadline=deadline - 30,
-                                  model=m, compute_dtype=jnp.bfloat16)
+                ips, dev_ips = bench_train(128, steps=6, trials=1, image=224,
+                                           classes=1000, deadline=deadline - 30,
+                                           model=m, compute_dtype=jnp.bfloat16)
                 results[f"train_ips_{m}_b128_bf16"] = round(ips, 1)
+                if dev_ips:
+                    results[f"train_ips_{m}_b128_bf16_device"] = round(dev_ips, 1)
             except Exception as e:
                 log(f"{m} failed: {e}")
         else:
@@ -634,9 +654,12 @@ def main():
     # config at the end and keep the best observation
     if time_left() > 60:
         try:
-            ips = bench_train(256, steps=8, trials=1, deadline=deadline)
+            ips, dev_ips = bench_train(256, steps=8, trials=1,
+                                       deadline=deadline)
             results["train_ips_b256_fp32_retry"] = round(ips, 1)
             best = max(best, ips)
+            if dev_ips:
+                best = max(best, dev_ips)
         except Exception as e:
             log(f"primary retry failed: {e}")
 

@@ -407,7 +407,15 @@ def hsv_batch_planes(x, scales):
 
 def _shear_pad(rotation_tuple, H, W):
     """Static zero-margin width covering the worst-case shear displacement
-    for the angle range (same bound as rotate_shear)."""
+    for the angle range (same bound as rotate_shear).
+
+    The row-mixing shear's shift can leave [0, 2^nbits-1] on far margin
+    columns (and, at production sizes, on a few columns of spilled content);
+    empirically the output is UNCHANGED under larger pads — out-of-range
+    shifts only ever touch lines whose contribution is sliced away — but the
+    rotate_batch_planes shifts are clipped anyway so behaviour there is
+    edge-clamped by construction, not accidental (verified identical at
+    225px/15° for P=32/36/48, nbits 6/7)."""
     max_t = max(abs(rotation_tuple[0]), abs(rotation_tuple[1])) * math.pi / 180.0
     return int(math.ceil(max(math.tan(max_t / 2.0), math.sin(max_t))
                          * max(H, W) / 2.0)) + 2
@@ -420,8 +428,17 @@ def rotate_batch_planes(x, deg, rotation_tuple):
     t can be negative, so the array is padded by P on both sides, statically
     rolled by +P, then barrel-shifted by t+P in [2, 2P-2] — all reads land in
     zero margins (wrap-around only ever moves zeros). Geometry matches
-    rotate_shear / the cv2-matched gather ``rotate`` within interpolation
-    tolerance."""
+    rotate_shear EXACTLY (same decomposition), and the cv2-matched gather
+    ``rotate`` within interpolation tolerance on the frame interior.
+
+    Known boundary property of the three-shear family (NOT specific to this
+    batched version — rotate_shear produces bit-identical values): within a
+    ~1-2px band along the rotated frame edge, per-shear zero-fill lerps
+    anti-alias differently from warpAffine's single gather — a ghost of up
+    to ~0.2x edge intensity can appear just outside the true frame and true
+    edge pixels can attenuate (~0.6% of pixels at 225px/15deg, p99 of the
+    full-frame |diff| vs cv2 is <0.05). Interior pixels are exact within
+    lerp rounding."""
     B, C, H, W = x.shape
     theta = deg * jnp.pi / 180.0
     a = -jnp.tan(theta / 2.0)  # (B,)
@@ -435,13 +452,22 @@ def rotate_batch_planes(x, deg, rotation_tuple):
     x = jnp.pad(x, ((0, 0), (0, 0), (P, P), (P, P)))
     x_orig = jax.lax.broadcasted_iota(jnp.float32, (W + 2 * P,), 0) - P
 
+    # clip is a safety net only: _shear_pad guarantees in-range t on every
+    # content-carrying row/column; out-of-range t occurs only on all-zero
+    # margin lines (where any shift is a no-op). The clip makes a future
+    # pad-formula bug degrade to edge-clamped reads instead of bit-wrapped
+    # garbage. t tensors are (B,1,H,1)/(B,1,1,Wp) — negligible.
+    t_hi = float((1 << nbits) - 1)
+
     def shear_w(img, coef, y_coords):  # in_x = out_x + coef*(y - cy)
         t = coef[:, None, None, None] * (y_coords - cy)[None, None, :, None] + P
-        return _shift_resample(jnp.roll(img, P, axis=3), t, axis=3, nbits=nbits)
+        return _shift_resample(jnp.roll(img, P, axis=3),
+                               jnp.clip(t, 0.0, t_hi), axis=3, nbits=nbits)
 
     def shear_h(img, coef):  # in_y = out_y + coef*(x - cx)
         t = coef[:, None, None, None] * (x_orig - cx)[None, None, None, :] + P
-        return _shift_resample(jnp.roll(img, P, axis=2), t, axis=2, nbits=nbits)
+        return _shift_resample(jnp.roll(img, P, axis=2),
+                               jnp.clip(t, 0.0, t_hi), axis=2, nbits=nbits)
 
     y_pad = jax.lax.broadcasted_iota(jnp.float32, (H + 2 * P,), 0) - P
     y_content = jax.lax.broadcasted_iota(jnp.float32, (H,), 0)
@@ -486,11 +512,21 @@ def draw_batch_params(key, batch, precrop_hw, out_hw, hsv_pert_tuples=None,
 
 def augment_batch_planes(x, params, out_hw, hsv_pert_tuples=None,
                          rotation_tuple=None, horizontal_flip_prob=None,
-                         crop_mode="random"):
+                         crop_mode="random", hsv_dtype=None):
     """Whole-batch augmentation chain on (B,C,H,W) planes in the reference's
     order (crop -> HSV -> rotate -> flip), driven by explicit ``params``
     (see draw_batch_params) so it is directly testable against the per-image
-    oracles."""
+    oracles. This IS the production chain — train_pipeline's planes branch
+    calls it, so the oracle tests pin the shipped path.
+
+    Spatial stages (crop/rotate/flip) run in the INPUT dtype: with uint8
+    images that is 1 byte/pixel of HBM traffic, and matches cv2, which
+    quantises to uint8 after every stage. HSV itself runs in ``hsv_dtype``
+    (default: the input's float dtype, or float32 for integer inputs) and
+    rounds back to the input dtype for integer inputs."""
+    quantise = jnp.issubdtype(x.dtype, jnp.integer)
+    if hsv_dtype is None:
+        hsv_dtype = jnp.float32 if quantise else x.dtype
     if crop_mode == "random":
         x = crop_batch_planes(x, params["crop_r"], params["crop_c"], out_hw)
     elif crop_mode == "center":
@@ -498,7 +534,10 @@ def augment_batch_planes(x, params, out_hw, hsv_pert_tuples=None,
         r0, c0 = (H - out_hw[0]) // 2, (W - out_hw[1]) // 2
         x = x[:, :, r0:r0 + out_hw[0], c0:c0 + out_hw[1]]
     if hsv_pert_tuples is not None:
-        x = hsv_batch_planes(x, params["hsv_scales"])
+        hsv = hsv_batch_planes(x.astype(hsv_dtype), params["hsv_scales"])
+        # integer inputs round back (cv2 semantics); float inputs continue
+        # in hsv_dtype (the float stages' working precision)
+        x = (hsv + 0.5).astype(x.dtype) if quantise else hsv
     if rotation_tuple is not None:
         x = rotate_batch_planes(x, params["deg"], rotation_tuple)
     if horizontal_flip_prob is not None:
@@ -536,15 +575,11 @@ def mixup_pair(key, X, one_hot, mixup_lo, mixup_hi):
     return jnp.concatenate([X_a, X_b]), jnp.concatenate([y_a, y_b])
 
 
-@partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
-                                   "horizontal_flip_prob", "crop_mode", "mixup",
-                                   "output_layout", "internal_layout",
-                                   "aug_dtype"))
 def train_pipeline(key, images_precrop, one_hot, out_hw,
                    hsv_pert_tuples=None, rotation_tuple=None,
                    horizontal_flip_prob=None, crop_mode="random",
                    mixup=None, output_layout="NCHW", internal_layout="planes",
-                   aug_dtype="bfloat16"):
+                   aug_dtype=None):
     """precrop-size BGR batch (B,H,W,C in [0,255]) → augmented, optionally
     mixed-up, -128-shifted training batch in one jitted program.
     output_layout="NHWC" pairs with Trainer(input_layout="NHWC") to avoid a
@@ -555,34 +590,43 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
     per-image paths kept as oracles.
 
     aug_dtype (planes path only): dtype for the float stages (HSV/rotation/
-    flip/mixup). The default bfloat16 halves HBM traffic; its ~0.4% rounding
-    is below the uint8 quantisation the reference's cv2 path already applies.
-    Pass uint8 images to keep the crop stage (and the host->device copy) at
-    1 byte/pixel; pass "float32" for oracle-exact numerics."""
+    flip/mixup) and the emitted batch. Default None follows the compute-dtype
+    policy (set_compute_dtype) — fp32 under the parity default, bfloat16
+    under the production policy (where it halves HBM traffic; its ~0.4%
+    rounding is below the uint8 quantisation the reference's cv2 path
+    applies after every stage). Pass uint8 images to keep the crop stage
+    (and the host->device copy) at 1 byte/pixel; aug_dtype="float32" forces
+    oracle-exact numerics regardless of policy."""
+    if aug_dtype is None:
+        # resolved OUTSIDE the jitted impl: the resolved name is part of the
+        # static trace key, so flipping the policy retraces instead of
+        # silently reusing a stale-dtype program
+        from dorknet_tpu.config import get_compute_dtype
+
+        aug_dtype = jnp.dtype(get_compute_dtype()).name
+    return _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
+                                hsv_pert_tuples, rotation_tuple,
+                                horizontal_flip_prob, crop_mode, mixup,
+                                output_layout, internal_layout, aug_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
+                                   "horizontal_flip_prob", "crop_mode", "mixup",
+                                   "output_layout", "internal_layout",
+                                   "aug_dtype"))
+def _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
+                         hsv_pert_tuples, rotation_tuple,
+                         horizontal_flip_prob, crop_mode,
+                         mixup, output_layout, internal_layout, aug_dtype):
     k_aug, k_mix = jax.random.split(key)
     if internal_layout == "planes":
         x = jnp.transpose(images_precrop, (0, 3, 1, 2))
         params = draw_batch_params(k_aug, x.shape[0], x.shape[2:], out_hw,
                                    hsv_pert_tuples, rotation_tuple,
                                    horizontal_flip_prob, crop_mode)
-        # Spatial stages (crop/rotate/flip) run in the INPUT dtype: with uint8
-        # images that is 1 byte/pixel of HBM traffic, and matches cv2, which
-        # quantises to uint8 after every stage (the HSV result is rounded back
-        # to uint8 for the same reason). Only HSV itself runs in aug_dtype.
-        quantise = jnp.issubdtype(x.dtype, jnp.integer)
-        if crop_mode == "random":
-            x = crop_batch_planes(x, params["crop_r"], params["crop_c"], out_hw)
-        elif crop_mode == "center":
-            H, W = x.shape[2], x.shape[3]
-            r0, c0 = (H - out_hw[0]) // 2, (W - out_hw[1]) // 2
-            x = x[:, :, r0:r0 + out_hw[0], c0:c0 + out_hw[1]]
-        if hsv_pert_tuples is not None:
-            hsv = hsv_batch_planes(x.astype(aug_dtype), params["hsv_scales"])
-            x = (hsv + 0.5).astype(x.dtype) if quantise else hsv
-        if rotation_tuple is not None:
-            x = rotate_batch_planes(x, params["deg"], rotation_tuple)
-        if horizontal_flip_prob is not None:
-            x = flip_batch_planes(x, params["flip"])
+        x = augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
+                                 rotation_tuple, horizontal_flip_prob,
+                                 crop_mode, hsv_dtype=aug_dtype)
         x = x.astype(aug_dtype) - 128.0
         if mixup is not None:
             x, one_hot = mixup_pair(k_mix, x, one_hot,

@@ -329,6 +329,41 @@ def test_batched_hsv_matches_hwc_oracle():
         np.testing.assert_allclose(out[i].transpose(1, 2, 0), ref, atol=1e-2)
 
 
+def test_batched_rotate_production_size_vs_oracles():
+    """225px / ±15° (the flagship config). The three-shear family deviates
+    from a single-gather warpAffine in a thin band along the rotated frame
+    edge (per-shear zero-fill lerps anti-alias the boundary differently —
+    see rotate_batch_planes docstring); pin that the batched planes version
+    (a) agrees with the per-image rotate_shear on 99%+ of the frame with a
+    tiny p99, (b) deviates from the cv2-matched gather oracle on <1% of
+    pixels with p99 < 0.1, and (c) is AT LEAST as faithful to the gather
+    oracle as the established per-image shear path (it is strictly better:
+    rotate_shear clips the last content column; planes reproduces it)."""
+    yy, xx = np.mgrid[0:225, 0:225]
+    im = np.stack([xx * 1.0, yy * 1.0, (xx + yy) * 0.5], -1).astype(np.float32)
+    imgs = np.stack([im, im[::-1].copy()])
+    degs = np.array([15.0, -9.0], np.float32)
+    out = np.asarray(da.rotate_batch_planes(_planes(imgs), jnp.asarray(degs),
+                                            (-15.0, 15.0)))
+    for i in range(2):
+        got = out[i].transpose(1, 2, 0)
+        shear = np.asarray(da.rotate_shear(
+            jax.random.PRNGKey(0), jnp.asarray(imgs[i]),
+            (float(degs[i]), float(degs[i]))))
+        d_shear = np.abs(got - shear)
+        assert np.percentile(d_shear, 99) < 1e-3, np.percentile(d_shear, 99)
+        assert (d_shear.max(-1) > 0.1).mean() < 0.01
+
+        gather = np.asarray(da.rotate(
+            jax.random.PRNGKey(0), jnp.asarray(imgs[i]),
+            (float(degs[i]), float(degs[i]))))
+        d_ours = np.abs(got - gather)
+        d_theirs = np.abs(shear - gather)
+        assert np.percentile(d_ours, 99) < 0.1, np.percentile(d_ours, 99)
+        assert (d_ours.max(-1) > 5).mean() < 0.01, (d_ours.max(-1) > 5).mean()
+        assert (d_ours.max(-1) > 5).sum() <= (d_theirs.max(-1) > 5).sum()
+
+
 def test_batched_rotate_matches_gather_oracle():
     yy, xx = np.mgrid[0:48, 0:48]
     im = np.stack([xx * 2.0, yy * 2.0, (xx + yy) * 1.0], -1).astype(np.float32)

@@ -198,9 +198,10 @@ def test_bench_functions_smoke():
     guards the driver's round-end bench invocation against code errors."""
     import bench
 
-    ips = bench.bench_train(4, steps=2, trials=1, image=32, classes=5)
+    ips, _dev = bench.bench_train(4, steps=2, trials=1, image=32, classes=5)
     assert ips > 0
-    ips2 = bench.bench_train_multistep(4, k=2, reps=1, image=32, classes=5)
+    ips2, _dev2 = bench.bench_train_multistep(4, k=2, reps=1, image=32,
+                                              classes=5)
     assert ips2 > 0
     host, dev = bench.bench_aug_pipeline(n_images=8, image=32)
     assert host > 0 and dev > 0
