@@ -115,6 +115,23 @@ def test_ema_network_serves_and_survives_donation():
     np.testing.assert_allclose(probs_before, probs_after, rtol=1e-6)
 
 
+def test_ema_network_composes_with_quantized_serving():
+    """The intended production serving recipe: int8-quantise the EMA copy."""
+    from dorknet_tpu.network import QuantizedInferenceRunner
+
+    X, y = _data()
+    net = MNISTNet("ema-q")
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9), ema_decay=0.9)
+    for _ in range(3):
+        tr.step(X, y)
+    served = tr.ema_network()
+    fp = InferenceRunner(served, batch_size=16, fold_bn=True)
+    q = QuantizedInferenceRunner(served, batch_size=16)
+    q.calibrate([X])
+    p_fp, p_q = fp.predict_probs(X), q.predict_probs(X)
+    assert (p_fp.argmax(1) == p_q.argmax(1)).mean() == 1.0
+
+
 def test_no_ema_by_default():
     X, y = _data()
     net = MNISTNet("ema-off")
