@@ -16,6 +16,23 @@ import jax.numpy as jnp
 
 from dorknet_tpu.layers.base import to_nhwc
 
+def _classifier_weights(net, params):
+    """The classifier DenseLayer's (C, num_classes) weights — the LAST
+    DenseLayer in the network (the reference reads its 'dense1' head, CAM
+    example :62-64). Matching is by layer class, not name: a non-Dense layer
+    that happens to be called 'dense1' must not silently project garbage."""
+    dense_w = None
+    for l, p in zip(net.layers, params):
+        if l.__class__.__name__ == "DenseLayer":
+            dense_w = p["weights"]
+    if dense_w is None:
+        raise ValueError(
+            "CAM needs a DenseLayer classifier head; network '{}' has none "
+            "(layers: {})".format(
+                net.name, [l.__class__.__name__ for l in net.layers]))
+    return dense_w
+
+
 def _prune_cam_cache(net):
     """The jit cache lives ON the network (bounded by its lifetime); entries
     for older structure versions are dropped. Single-image keys lead with the
@@ -44,10 +61,7 @@ def _build_cam_fn(net, top_k, terminal_layer_name, out_size):
         H, W, C = feats.shape
 
         top = jnp.argsort(scores)[::-1][:top_k]
-        dense_w = None
-        for l, p in zip(net.layers, params):
-            if l.layer_name == "dense1" or l.__class__.__name__ == "DenseLayer":
-                dense_w = p["weights"]  # (C, num_classes)
+        dense_w = _classifier_weights(net, params)  # (C, num_classes)
         w_sel = dense_w.T[top]  # (top_k, C)
 
         cam = jnp.einsum("kc,hwc->khw", w_sel, feats)
@@ -97,10 +111,7 @@ def _build_cam_batch_fn(net, top_k, terminal_layer_name, out_size):
     def fn(params, states, X):
         scores, feats = jax.vmap(one_image, in_axes=(None, None, 0))(
             params, states, X)  # (N,classes), (N,H,W,C)
-        dense_w = None
-        for l, p in zip(net.layers, params):
-            if l.layer_name == "dense1" or l.__class__.__name__ == "DenseLayer":
-                dense_w = p["weights"]  # (C, num_classes)
+        dense_w = _classifier_weights(net, params)  # (C, num_classes)
         top = jnp.argsort(scores, axis=1)[:, ::-1][:, :top_k]  # (N, top_k)
         w_sel = dense_w.T[top]  # (N, top_k, C)
         cam = jnp.einsum("nkc,nhwc->nkhw", w_sel, feats)

@@ -48,6 +48,9 @@ def horizontal_flip(key, im, prob):
 def _bgr_to_hsv(im):
     """OpenCV-convention HSV for float BGR in [0,255]: H in [0,180), S,V in
     [0,255] (matches cv2.COLOR_BGR2HSV semantics the reference relies on)."""
+    if jnp.issubdtype(im.dtype, jnp.integer):
+        # channel differences below go negative: unsigned ints would wrap
+        im = im.astype(jnp.float32)
     b, g, r = im[..., 0], im[..., 1], im[..., 2]
     v = jnp.maximum(jnp.maximum(b, g), r)
     mn = jnp.minimum(jnp.minimum(b, g), r)
@@ -188,6 +191,8 @@ def rotate_shear(key, im, rotation_tuple):
 # --------------------------------------------------------------------- #
 
 def _bgr_to_hsv_chw(im):
+    if jnp.issubdtype(im.dtype, jnp.integer):
+        im = im.astype(jnp.float32)  # unsigned wrap guard, see _bgr_to_hsv
     b, g, r = im[0], im[1], im[2]
     v = jnp.maximum(jnp.maximum(b, g), r)
     mn = jnp.minimum(jnp.minimum(b, g), r)

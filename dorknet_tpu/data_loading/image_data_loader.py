@@ -107,27 +107,37 @@ class ImageDataLoader:
         self.batch_size = batch_size
         self.batch_queue = queue.Queue(maxsize=5)
         self.class_balance = class_balance
-        self._paused = threading.Event()
-        self._resume = threading.Event()
+        # pause/resume handshake state, all guarded by _cond (a bare flag pair
+        # raced: a producer waking from pause could clobber a second pause
+        # request and leave shuffle_indices waiting forever)
+        self._cond = threading.Condition()
+        self._pause_requests = 0
+        self._producer_paused = False
         self._lock = threading.Lock()
-        self.keep_producing = True
 
-        if classes_from_dir_structure:
-            self.class_name_num_map, per_class_paths, self.samples = (
-                discover_dataset(base_folder))
-            self.class_names = list(self.class_name_num_map)
-            # class-balanced mode: round-robin over classes, cycling each
-            # class's own path list independently
-            self.class_cycle = itertools.cycle(
-                (name, itertools.cycle(paths))
-                for name, paths in per_class_paths.items())
-            # flat mode: an index cycle over all samples (reshuffled by
-            # shuffle_indices)
-            self.index_cycle = itertools.cycle(range(len(self.samples)))
-            # the reference prints this to stdout (image_data_loader.py:38);
-            # stderr here so programmatic stdout (bench.py's JSON line,
-            # piped example output) stays clean
-            print("Number of samples: ", len(self.samples), file=sys.stderr)
+        if not classes_from_dir_structure:
+            # the reference accepts False and then dies in its producer thread
+            # on the missing attributes (ref image_data_loader.py:26-44 sets
+            # the sampling state only under the flag) — fail loudly instead
+            raise ValueError(
+                "classes_from_dir_structure=False is not supported: the "
+                "loader's sampling state comes from the <class>/images/* "
+                "directory layout (the reference silently hangs here)")
+        self.class_name_num_map, per_class_paths, self.samples = (
+            discover_dataset(base_folder))
+        self.class_names = list(self.class_name_num_map)
+        # class-balanced mode: round-robin over classes, cycling each
+        # class's own path list independently
+        self.class_cycle = itertools.cycle(
+            (name, itertools.cycle(paths))
+            for name, paths in per_class_paths.items())
+        # flat mode: an index cycle over all samples (reshuffled by
+        # shuffle_indices)
+        self.index_cycle = itertools.cycle(range(len(self.samples)))
+        # the reference prints this to stdout (image_data_loader.py:38);
+        # stderr here so programmatic stdout (bench.py's JSON line,
+        # piped example output) stays clean
+        print("Number of samples: ", len(self.samples), file=sys.stderr)
 
         self.queue_thread = threading.Thread(target=self.load_batch,
                                              args=(self.class_balance,),
@@ -138,7 +148,8 @@ class ImageDataLoader:
     # ------------------------------------------------------------------ #
     def stop_thread(self):
         self.keep_loading = False
-        self._resume.set()  # unblock a paused producer
+        with self._cond:
+            self._cond.notify_all()  # unblock a paused producer
         # Drain so a producer blocked on put() can exit.
         try:
             while True:
@@ -151,44 +162,48 @@ class ImageDataLoader:
     def shuffle_indices(self):
         """Pause the producer, drain queued (stale-order) batches, reshuffle the
         flat index cycle, restart (reference :52-69)."""
-        self._resume.clear()
-        self._paused.clear()
-        self.keep_producing = False
-        # wake a producer blocked on put() and wait until it acknowledges pause
-        while not self._paused.is_set():
+        with self._cond:
+            self._pause_requests += 1
+            self._cond.notify_all()
+        try:
+            # wake a producer blocked on put() and wait for the pause ack
+            while True:
+                with self._cond:
+                    if self._producer_paused or not self.queue_thread.is_alive():
+                        break
+                try:
+                    self.batch_queue.get(timeout=0.1)
+                except queue.Empty:
+                    pass
             try:
-                self.batch_queue.get(timeout=0.1)
+                while True:
+                    self.batch_queue.get_nowait()
             except queue.Empty:
                 pass
-            if not self.queue_thread.is_alive():
-                break
-        try:
-            while True:
-                self.batch_queue.get_nowait()
-        except queue.Empty:
-            pass
-        with self._lock:
-            self.index_cycle = itertools.cycle(
-                list(np.random.permutation(len(self.samples))))
-        self._resume.set()
+            with self._lock:
+                self.index_cycle = itertools.cycle(
+                    list(np.random.permutation(len(self.samples))))
+        finally:
+            with self._cond:
+                self._pause_requests -= 1
+                self._cond.notify_all()
 
     # ------------------------------------------------------------------ #
     def get_batch_list(self, class_balance=True):
-        while True:
-            X_batch_list, y_batch_list = [], []
-            with self._lock:
-                if class_balance:
-                    for _ in range(self.batch_size):
-                        c_name, path_cycle = next(self.class_cycle)
-                        y_batch_list.append(self.class_name_num_map[c_name])
-                        X_batch_list.append(next(path_cycle))
-                else:
-                    for _ in range(self.batch_size):
-                        c_name, path = self.samples[
-                            next(self.index_cycle)]
-                        y_batch_list.append(self.class_name_num_map[c_name])
-                        X_batch_list.append(path)
-            yield X_batch_list, y_batch_list
+        """One (paths, labels) draw under the sampling lock."""
+        X_batch_list, y_batch_list = [], []
+        with self._lock:
+            if class_balance:
+                for _ in range(self.batch_size):
+                    c_name, path_cycle = next(self.class_cycle)
+                    y_batch_list.append(self.class_name_num_map[c_name])
+                    X_batch_list.append(next(path_cycle))
+            else:
+                for _ in range(self.batch_size):
+                    c_name, path = self.samples[next(self.index_cycle)]
+                    y_batch_list.append(self.class_name_num_map[c_name])
+                    X_batch_list.append(path)
+        return X_batch_list, y_batch_list
 
     def _decode_batch(self, pool, X_batch_list):
         if self.emit_hwc_uint8:
@@ -207,7 +222,18 @@ class ImageDataLoader:
             import cv2
 
             def load(p):
-                return cv2.resize(cv2.imread(p), pp.precrop_size)
+                # zero-fill unreadable images like the native path does —
+                # one corrupt file must not kill the producer thread
+                try:
+                    im = cv2.imread(p)
+                    if im is None:
+                        raise ValueError("imread returned None")
+                    return cv2.resize(im, pp.precrop_size)
+                except Exception as e:  # noqa: BLE001
+                    print("ImageDataLoader: failed to decode {} ({}); "
+                          "zero-filled".format(p, e), file=sys.stderr)
+                    return np.zeros((pp.precrop_size[1], pp.precrop_size[0],
+                                     3), np.uint8)
 
             return np.stack(pool.map(load, X_batch_list), axis=0)
         if self.use_native_loader:
@@ -225,36 +251,57 @@ class ImageDataLoader:
                       "(zero-filled)".format(len(X_batch_list) - ok,
                                              len(X_batch_list)))
             return out
-        return np.stack(pool.map(self.preprocessor.load_image, X_batch_list), axis=0)
+        def load_preprocessed(p):
+            try:
+                return self.preprocessor.load_image(p)
+            except Exception as e:  # noqa: BLE001 — zero-fill like the
+                # native path; a corrupt file must not kill the producer
+                print("ImageDataLoader: failed to decode {} ({}); "
+                      "zero-filled".format(p, e), file=sys.stderr)
+                pp = self.preprocessor
+                return np.zeros((3, pp.image_size[0], pp.image_size[1]),
+                                np.float32)
+
+        return np.stack(pool.map(load_preprocessed, X_batch_list), axis=0)
 
     def load_batch(self, class_balance):
         eye = np.eye(len(self.class_names), dtype=np.float32)
-        self.keep_producing = True
         with ThreadPool(self.num_workers) as pool:
             while self.keep_loading:
-                if not self.keep_producing:
-                    self._paused.set()
-                    self._resume.wait()
-                    self.keep_producing = True
-                    self._paused.clear()
-                    continue
-                X_batch_list, y_batch_list = next(
-                    self.get_batch_list(class_balance=class_balance))
-                X_batch = self._decode_batch(pool, X_batch_list)
-                one_hot_y = eye[np.asarray(y_batch_list)]
-                if self.mixup_range_tuple is not None:
-                    # draw a partner batch and emit both convex orderings
-                    X_list_m, y_list_m = next(
-                        self.get_batch_list(class_balance=class_balance))
-                    X_batch_m = self._decode_batch(pool, X_list_m)
-                    mixed = mixup_pair(
-                        X_batch, one_hot_y, X_batch_m, eye[np.asarray(y_list_m)],
-                        np.random.uniform(*self.mixup_range_tuple))
-                    for labels, (X_mixed, y_mixed) in zip(
-                            (y_batch_list, y_list_m), mixed):
-                        self._put((X_mixed, labels, y_mixed))
-                else:
-                    self._put((X_batch, y_batch_list, one_hot_y))
+                with self._cond:
+                    if self._pause_requests:
+                        self._producer_paused = True
+                        self._cond.notify_all()
+                        while self._pause_requests and self.keep_loading:
+                            self._cond.wait(timeout=0.25)
+                        self._producer_paused = False
+                        continue
+                try:
+                    X_batch_list, y_batch_list = self.get_batch_list(
+                        class_balance=class_balance)
+                    X_batch = self._decode_batch(pool, X_batch_list)
+                    one_hot_y = eye[np.asarray(y_batch_list)]
+                    if self.mixup_range_tuple is not None:
+                        # draw a partner batch and emit both convex orderings
+                        X_list_m, y_list_m = self.get_batch_list(
+                            class_balance=class_balance)
+                        X_batch_m = self._decode_batch(pool, X_list_m)
+                        mixed = mixup_pair(
+                            X_batch, one_hot_y, X_batch_m,
+                            eye[np.asarray(y_list_m)],
+                            np.random.uniform(*self.mixup_range_tuple))
+                        for labels, (X_mixed, y_mixed) in zip(
+                                (y_batch_list, y_list_m), mixed):
+                            self._put((X_mixed, labels, y_mixed))
+                    else:
+                        self._put((X_batch, y_batch_list, one_hot_y))
+                except Exception:  # noqa: BLE001 — a dead producer hangs
+                    # every consumer on a silent queue; log and keep serving
+                    import traceback
+
+                    print("ImageDataLoader producer: batch failed, "
+                          "continuing:\n" + traceback.format_exc(),
+                          file=sys.stderr)
 
     def _put(self, item):
         while self.keep_loading:
@@ -262,8 +309,8 @@ class ImageDataLoader:
                 self.batch_queue.put(item, timeout=0.25)
                 return
             except queue.Full:
-                if not self.keep_producing:
-                    return
+                if self._pause_requests:
+                    return  # stale-order batch; shuffle is draining anyway
 
     def pull_batch(self, num_steps):
         for _ in range(num_steps):

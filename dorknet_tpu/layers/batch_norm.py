@@ -111,6 +111,12 @@ class BatchNormLayer(Layer):
 
     # -- checkpointing ------------------------------------------------------ #
     def save_to_h5(self, open_f, save_grads=True):
+        if self.non_learned_params.get("running_mean") is None:
+            raise ValueError(
+                "BatchNormLayer '{}' has no running statistics yet — run at "
+                "least one training batch (or load a checkpoint) before "
+                "saving; h5py cannot store the None placeholders".format(
+                    self.layer_name))
         h5io.create_layer_info(
             open_f, self.layer_name, "BatchNormLayer",
             input_dimension=self.input_dimension, run_momentum=self.run_momentum,

@@ -23,6 +23,13 @@ class ResidualBlock(Layer):
     def __init__(self, layer_name, layer_list=None, skip_projection=None,
                  post_skip_activation=None):
         super().__init__(layer_name)
+        if layer_list and post_skip_activation is None:
+            # (a bare ResidualBlock(name) is the load_from_h5 path and stays
+            # legal — the checkpoint supplies the activation)
+            raise ValueError(
+                "ResidualBlock '{}' built with a layer_list needs a "
+                "post_skip_activation — use ReLu(...) or, for a linear "
+                "join, layers.IdentityLayer(...)".format(layer_name))
         self.layer_list = layer_list if layer_list is not None else []
         self.skip_projection = skip_projection
         self.post_skip_activation = post_skip_activation

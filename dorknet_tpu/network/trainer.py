@@ -49,8 +49,10 @@ class Trainer:
         self._ema = None    # shadow params tree (when ema_decay is set)
 
     def _signature(self):
+        hyper = (self.optimiser.hyper_key()
+                 if hasattr(self.optimiser, "hyper_key") else ())
         return (self.network._version, self.remat, self.input_layout,
-                self.ema_decay,
+                self.ema_decay, hyper,
                 tuple(l._trace_signature() for l in self.network.layers))
 
     def _ema_update(self, ema, new_params):
@@ -303,8 +305,9 @@ class Trainer:
 
         params = network.gather_params()
         states = network.gather_states()
-        if self.param_sharding is not None:
+        if self.param_sharding is not None and not getattr(self, "_params_placed", False):
             params = jax.device_put(params, self.param_sharding)
+            self._params_placed = True
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
         if self.batch_sharding is not None:

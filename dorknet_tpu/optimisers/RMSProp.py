@@ -19,6 +19,9 @@ class RMSProp(Optimiser):
         self.decay_rate = decay_rate
         self.grad_cache = self.init_cache(self.gather_params())
 
+    def hyper_key(self):
+        return (float(self.decay_rate),)
+
     def apply_update(self, params, grads, cache, lr):
         new_cache = jax.tree_util.tree_map(
             lambda c, g: self.decay_rate * c + (1.0 - self.decay_rate) * jnp.square(g),

@@ -15,6 +15,9 @@ class SGDMomentum(Optimiser):
         self.momentum = momentum
         self.grad_cache = self.init_cache(self.gather_params())
 
+    def hyper_key(self):
+        return (float(self.momentum),)
+
     def apply_update(self, params, grads, cache, lr):
         dx = jax.tree_util.tree_map(
             lambda g, v: -lr * g + self.momentum * v, grads, cache)

@@ -65,14 +65,27 @@ class Optimiser:
         """Pure: (params, grads, cache, lr) -> (new_params, new_cache)."""
         raise NotImplementedError
 
+    def hyper_key(self):
+        """Hashable tuple of every hyperparameter BAKED INTO the traced update
+        (lr is excluded — it flows as a traced scalar via device_lr()).
+        Jit caches (here and in Trainer) key on this so mutating e.g.
+        ``opt.momentum`` mid-run retraces instead of silently keeping the old
+        value."""
+        return ()
+
     # -- reference-compatible API -------------------------------------------- #
     def update_weights(self):
         params = self.gather_params()
         grads = self.gather_grads()
         if getattr(self, "grad_cache", None) is None:
             self.grad_cache = self.init_cache(params)
-        if self._update_jit is None:
-            self._update_jit = jax.jit(self.apply_update, donate_argnums=(0, 2))
+        key = self.hyper_key()
+        if self._update_jit is None or getattr(self, "_jit_hyper", None) != key:
+            def _fresh(p, g, c, lr, _f=self.apply_update):
+                return _f(p, g, c, lr)
+
+            self._update_jit = jax.jit(_fresh, donate_argnums=(0, 2))
+            self._jit_hyper = key
         new_params, self.grad_cache = self._update_jit(
             params, grads, self.grad_cache, self.device_lr())
         self.scatter_params(new_params)

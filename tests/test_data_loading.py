@@ -55,6 +55,57 @@ def test_preprocessor_augmenter_applied_vs_reference_noop(image_dir):
     np.testing.assert_allclose(out_ref, out_plain)
 
 
+def test_loader_survives_corrupt_image(image_dir):
+    """A truncated/garbage image file must be zero-filled (like the native
+    decoder), not kill the producer thread and hang every consumer."""
+    bad = os.path.join(image_dir, "beagle", "images", "zz_bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"not an image at all")
+    pp = ImagePreprocessor(image_size=(32, 32), crop_mode="center")
+    # flat (non-balanced) sampling walks every file incl. the corrupt one:
+    # 13 files, batch 13 covers all
+    loader = ImageDataLoader(image_dir, batch_size=13, preprocessor=pp,
+                             class_balance=False)
+    try:
+        X, y, oh = next(loader.pull_batch(1))
+        assert X.shape == (13, 3, 32, 32)
+        assert np.isfinite(X).all()
+    finally:
+        loader.stop_thread()
+
+    # same for the emit_hwc_uint8 (on-device augment) mode
+    loader2 = ImageDataLoader(image_dir, batch_size=13, preprocessor=pp,
+                              class_balance=False, emit_hwc_uint8=True)
+    try:
+        X2, _, _ = next(loader2.pull_batch(1))
+        assert X2.dtype == np.uint8 and X2.shape[0] == 13
+    finally:
+        loader2.stop_thread()
+
+
+def test_loader_rejects_no_dir_structure(image_dir):
+    """classes_from_dir_structure=False dies silently in the reference's
+    producer thread; here it is a loud constructor error."""
+    pp = ImagePreprocessor(image_size=(32, 32), crop_mode="center")
+    with pytest.raises(ValueError, match="classes_from_dir_structure"):
+        ImageDataLoader(image_dir, batch_size=4, preprocessor=pp,
+                        classes_from_dir_structure=False, start_thread=False)
+
+
+def test_hsv_integer_input_no_wraparound():
+    """uint8 pixels through the HSV oracles must match the float path —
+    unsigned channel differences would otherwise wrap mod 256 (verified
+    failure case: b=200,g=10,r=250 gave hue 8.25 instead of 156.25)."""
+    px = np.array([[[200, 10, 250]]], dtype=np.uint8)  # HWC BGR
+    f32 = np.asarray(da._bgr_to_hsv(jnp.asarray(px.astype(np.float32))))
+    u8 = np.asarray(da._bgr_to_hsv(jnp.asarray(px)))
+    np.testing.assert_allclose(u8, f32, atol=1e-4)
+    chw = px.transpose(2, 0, 1)
+    f32c = np.asarray(da._bgr_to_hsv_chw(jnp.asarray(chw.astype(np.float32))))
+    u8c = np.asarray(da._bgr_to_hsv_chw(jnp.asarray(chw)))
+    np.testing.assert_allclose(u8c, f32c, atol=1e-4)
+
+
 def test_image_data_loader_basic(image_dir):
     pp = ImagePreprocessor(image_size=(32, 32), crop_mode="center")
     loader = ImageDataLoader(image_dir, batch_size=6, preprocessor=pp,
@@ -173,6 +224,26 @@ def test_shuffle_stress_no_deadlock(image_dir):
             loader.shuffle_indices()
         X, y, oh = next(iter(loader.pull_batch(1)))
         assert np.isfinite(X).all()
+    finally:
+        loader.stop_thread()
+
+
+def test_back_to_back_shuffles_no_deadlock(image_dir):
+    """Regression for the pause-handshake race: a second shuffle_indices
+    arriving while the producer is waking from the first could be clobbered
+    by the producer's resume (the old boolean flag protocol), leaving the
+    second call spinning forever. The Condition+counter protocol must survive
+    rapid back-to-back shuffles with no pulls in between."""
+    pp = ImagePreprocessor(image_size=(32, 32), crop_mode="center")
+    loader = ImageDataLoader(image_dir, batch_size=4, preprocessor=pp,
+                             class_balance=False, num_workers=2)
+    try:
+        next(iter(loader.pull_batch(1)))  # producer warm
+        for _ in range(8):
+            loader.shuffle_indices()
+            loader.shuffle_indices()  # immediately again — the race window
+        X, y, oh = next(iter(loader.pull_batch(1)))
+        assert X.shape == (4, 3, 32, 32)
     finally:
         loader.stop_thread()
 

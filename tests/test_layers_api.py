@@ -1,6 +1,7 @@
 """Reference-compatible stateful layer API: forward/backward side-effect
 semantics, grads dicts, BN running-stat mutation, composite residual block."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -217,3 +218,40 @@ def test_repr_strings_match_reference_format():
                     weight_regulariser=l2(0.0001))
     assert repr(dn) == ("DenseLayer(d1, incoming_chans=512, output_dim=120, "
                         "weight_regulariser=l2(strength=0.0001))")
+
+
+def test_bn_save_before_first_batch_is_clear_error(tmp_path):
+    """Saving a BatchNorm with no running stats yet must raise a clear
+    ValueError, not h5py's object-dtype crash."""
+    import h5py
+    from dorknet_tpu.layers import BatchNormLayer
+
+    bn = BatchNormLayer("b1", incoming_chans=4)
+    with h5py.File(str(tmp_path / "x.h5"), "w") as f:
+        with pytest.raises(ValueError, match="running statistics"):
+            bn.save_to_h5(f)
+
+
+def test_residual_block_requires_post_skip_activation():
+    from dorknet_tpu.layers import ConvLayer, ResidualBlock
+
+    c = ConvLayer("c", filter_block_shape=(4, 4, 3, 3))
+    with pytest.raises(ValueError, match="post_skip_activation"):
+        ResidualBlock("rb", layer_list=[c])
+    # the bare load-path constructor stays legal
+    ResidualBlock("rb2")
+
+
+def test_cam_without_dense_head_is_clear_error():
+    from dorknet_tpu.cam import compute_cam_scores
+    from dorknet_tpu.network import FeedForwardNetwork
+    from dorknet_tpu.layers import (ConvLayer, ReLu,
+                                    GlobalAveragePoolingLayer)
+
+    net = FeedForwardNetwork("no-dense")
+    net.add_layer(ConvLayer("c1", filter_block_shape=(4, 3, 3, 3)))
+    net.add_layer(ReLu("r1"))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    X = np.random.randn(1, 3, 16, 16).astype(np.float32)
+    with pytest.raises(ValueError, match="DenseLayer"):
+        compute_cam_scores(net, X, top_k=1, terminal_layer_name="r1")

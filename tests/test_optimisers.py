@@ -134,3 +134,45 @@ def test_optax_adapter_respects_transformation_lr():
         tr.step(X, one_hot)
     w1 = np.asarray(net.layers[0].learned_params["weights"])
     assert np.abs(w1 - w0).max() > 1e-4  # params actually moved
+
+
+def test_momentum_mutation_retraces():
+    """Hyperparameters baked into the traced update (momentum, decay_rate)
+    must take effect when mutated mid-run — the jit caches key on
+    Optimiser.hyper_key(), so opt.momentum = x retraces instead of silently
+    keeping the old constant."""
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from tests.test_network import small_net, toy_batch
+
+    X, y, one_hot = toy_batch(B=8)
+
+    def run(schedule):
+        np.random.seed(21)
+        net = small_net(seed=21)
+        opt = SGDMomentum(net, 0.05, schedule[0])
+        tr = Trainer(net, opt)
+        for m in schedule:
+            opt.momentum = m
+            tr.step(X, one_hot)
+        return np.asarray(net.layers[0].learned_params["weights"])
+
+    # same steps, momentum flipped mid-run vs held — trajectories must differ
+    w_flip = run([0.9, 0.9, 0.0])
+    w_hold = run([0.9, 0.9, 0.9])
+    assert np.abs(w_flip - w_hold).max() > 1e-6
+
+    # and the flipped run must equal a run that started a fresh optimiser at
+    # the flip (same math, proving the new constant is really in the program)
+    def run_fresh_flip():
+        np.random.seed(21)
+        net = small_net(seed=21)
+        opt = SGDMomentum(net, 0.05, 0.9)
+        tr = Trainer(net, opt)
+        tr.step(X, one_hot)
+        tr.step(X, one_hot)
+        opt.momentum = 0.0
+        tr.step(X, one_hot)
+        return np.asarray(net.layers[0].learned_params["weights"])
+
+    np.testing.assert_allclose(w_flip, run_fresh_flip(), rtol=1e-6)
