@@ -72,14 +72,23 @@ def decode_batch(paths, precrop_hw, crop_hw, crop_mode="center",
                  num_threads=None, seed=0):
     """Decode+preprocess a batch natively → (N, 3, crop_h, crop_w) float32,
     BGR CHW, -128 shifted (the reference preprocessor's output format).
-    crop_mode: "center" | "random" | "resize" (plain resize, no crop)."""
+    crop_mode: "center" | "random" | "resize" (plain resize, no crop).
+
+    Formats: JPEG and PNG only. Anything else (BMP/TIFF/WebP, CMYK JPEG)
+    zero-fills that slot and is counted in ``n - ok`` — datasets with such
+    files should use the cv2 path (use_native_loader=False)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader not built — run make -C native "
                            "or dorknet_tpu.native.build_native()")
     mode = {"center": 0, "random": 1, "resize": 2}[crop_mode]
+    if mode != 2 and (crop_hw[0] > precrop_hw[0] or crop_hw[1] > precrop_hw[1]):
+        raise ValueError(
+            "crop {} larger than precrop {} — the crop window must fit the "
+            "resized canvas".format(tuple(crop_hw), tuple(precrop_hw)))
     n = len(paths)
-    out = np.zeros((n, 3, crop_hw[0], crop_hw[1]), dtype=np.float32)
+    # np.empty: the native side writes every element (zero-fills failures)
+    out = np.empty((n, 3, crop_hw[0], crop_hw[1]), dtype=np.float32)
     threads = num_threads or min(16, os.cpu_count() or 1)
     ok = lib.dorknet_decode_batch(
         _path_array(paths), n, precrop_hw[0], precrop_hw[1],
@@ -97,7 +106,7 @@ def decode_batch_hwc(paths, precrop_hw, num_threads=None):
         raise RuntimeError("native loader not built — run make -C native "
                            "or dorknet_tpu.native.build_native()")
     n = len(paths)
-    out = np.zeros((n, precrop_hw[0], precrop_hw[1], 3), dtype=np.uint8)
+    out = np.empty((n, precrop_hw[0], precrop_hw[1], 3), dtype=np.uint8)
     threads = num_threads or min(16, os.cpu_count() or 1)
     ok = lib.dorknet_decode_batch_hwc(
         _path_array(paths), n, precrop_hw[0], precrop_hw[1],
@@ -124,10 +133,17 @@ class AsyncDecodePool:
         self._lib = lib
         self._pool = lib.dk_pool_create(threads or min(16, os.cpu_count() or 1))
         self._jobs = {}
+        self._done = {}  # job_id -> ok_count, set when native poll completes
 
     def submit(self, paths, precrop_hw, crop_hw, crop_mode="center", seed=0):
         mode = {"center": 0, "random": 1, "resize": 2}[crop_mode]
-        out = np.zeros((len(paths), 3, crop_hw[0], crop_hw[1]), dtype=np.float32)
+        if mode != 2 and (crop_hw[0] > precrop_hw[0]
+                          or crop_hw[1] > precrop_hw[1]):
+            raise ValueError(
+                "crop {} larger than precrop {} — the crop window must fit "
+                "the resized canvas".format(tuple(crop_hw), tuple(precrop_hw)))
+        out = np.empty((len(paths), 3, crop_hw[0], crop_hw[1]),
+                       dtype=np.float32)
         arr = _path_array(paths)
         job_id = self._lib.dk_pool_submit(
             self._pool, arr, len(paths), precrop_hw[0], precrop_hw[1],
@@ -135,14 +151,25 @@ class AsyncDecodePool:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_uint64(seed))
         self._jobs[job_id] = out  # keep the buffer alive until collected
+        self._done.pop(job_id, None)  # native ids are reused after release
         return job_id
 
     def poll(self, job_id):
+        """(done, ok_count). Safe to call repeatedly: completion is cached
+        Python-side (the native poll RELEASES the job on its first 'done',
+        and its id is then reused by a later submit)."""
+        if job_id in self._done:
+            return True, self._done[job_id]
+        if job_id not in self._jobs:
+            raise KeyError("unknown job {}".format(job_id))
         ok = ctypes.c_int(0)
         done = self._lib.dk_pool_poll(self._pool, job_id, ctypes.byref(ok))
         if done < 0:
             raise KeyError("unknown job {}".format(job_id))
-        return bool(done), ok.value
+        if done:
+            self._done[job_id] = ok.value
+            return True, ok.value
+        return False, ok.value
 
     def wait(self, job_id, timeout_s=60.0, poll_interval_s=0.001):
         import time
@@ -151,6 +178,7 @@ class AsyncDecodePool:
         while True:
             done, ok = self.poll(job_id)
             if done:
+                self._done.pop(job_id, None)
                 return self._jobs.pop(job_id), ok
             if time.monotonic() > deadline:
                 raise TimeoutError("decode job {} timed out".format(job_id))

@@ -47,7 +47,13 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+// Reject dimension bombs before allocating: a crafted/corrupt header can
+// declare 65535x65535 (12 GB) — resize() would throw bad_alloc, which
+// std::terminate()s the process from an OpenMP region or a pool thread.
+constexpr size_t kMaxPixels = 64ull * 1024 * 1024;  // 64 MP ≈ 192 MB RGB
+
+bool decode_jpeg_impl(const uint8_t* buf, size_t len, Image* out,
+                      bool turbo_bgr) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -62,20 +68,35 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
+  if (size_t(cinfo.image_width) * cinfo.image_height > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
 #if defined(JCS_EXTENSIONS) && !defined(DORKNET_NO_TURBO_BGR)
-  // libjpeg-turbo: SIMD colour conversion straight to BGR, scanlines land
-  // directly in the output buffer — no per-pixel swap loop
-  cinfo.out_color_space = JCS_EXT_BGR;
-  jpeg_start_decompress(&cinfo);
-  out->h = cinfo.output_height;
-  out->w = cinfo.output_width;
-  out->c = 3;
-  out->data.resize(size_t(out->h) * out->w * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* rp = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
-    jpeg_read_scanlines(&cinfo, &rp, 1);
+  if (turbo_bgr) {
+    // libjpeg-turbo: SIMD colour conversion straight to BGR, scanlines land
+    // directly in the output buffer — no per-pixel swap loop. If the RUNTIME
+    // libjpeg is not turbo (header/runtime mismatch), start_decompress
+    // rejects the colour space -> longjmp -> false; decode_jpeg retries on
+    // the portable path below.
+    cinfo.out_color_space = JCS_EXT_BGR;
+    jpeg_start_decompress(&cinfo);
+    out->h = cinfo.output_height;
+    out->w = cinfo.output_width;
+    out->c = 3;
+    out->data.resize(size_t(out->h) * out->w * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* rp =
+          out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+      jpeg_read_scanlines(&cinfo, &rp, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
   }
 #else
+  (void)turbo_bgr;
+#endif
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->h = cinfo.output_height;
@@ -94,10 +115,15 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
       dst[3 * x + 2] = row[3 * x + 0];
     }
   }
-#endif
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
+}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  if (decode_jpeg_impl(buf, len, out, /*turbo_bgr=*/true)) return true;
+  // runtime fallback: classic-libjpeg runtime under turbo headers
+  return decode_jpeg_impl(buf, len, out, /*turbo_bgr=*/false);
 }
 
 // ----------------------------------------------------------------- PNG ----
@@ -140,6 +166,10 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out) {
   out->h = png_get_image_height(png, info);
   out->w = png_get_image_width(png, info);
   out->c = 3;
+  if (size_t(out->h) * out->w > kMaxPixels) {  // dimension-bomb guard
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   // read the whole image (interlace passes need full-image row pointers)
   std::vector<uint8_t> rgb(size_t(out->h) * png_get_rowbytes(png, info));
   std::vector<png_bytep> rows(out->h);
@@ -220,26 +250,21 @@ void resize_bilinear(const Image& src, int out_h, int out_w, Image* dst) {
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode + resize-to-precrop + crop + CHW float32 -128 for a batch of images.
-// paths: n null-terminated strings. out: float32 buffer (n, 3, crop, crop),
-// C-contiguous. crop_mode: 0=center, 1=random, 2=plain-resize-to-crop.
-// Returns number of successfully decoded images (failures leave zeros).
-int dorknet_decode_batch(const char** paths, int n, int precrop_h, int precrop_w,
-                         int crop_h, int crop_w, int crop_mode, float* out,
-                         int num_threads, uint64_t seed) {
-  int ok_count = 0;
-#pragma omp parallel for num_threads(num_threads) reduction(+ : ok_count) \
-    schedule(dynamic)
-  for (int i = 0; i < n; ++i) {
+// The per-image pipeline shared by the OpenMP batch entry point and the
+// async pool workers: decode -> resize-to-precrop -> crop -> CHW float32
+// -128. Zero-fills `dst` and returns false on ANY failure (unreadable file,
+// dimension bomb, crop larger than precrop, bad_alloc — exceptions must not
+// escape into an OpenMP region or a pool thread, where they std::terminate).
+bool process_one(const char* path, int precrop_h, int precrop_w, int crop_h,
+                 int crop_w, int crop_mode, uint64_t seed, int i, float* dst) {
+  const size_t out_elems = size_t(3) * crop_h * crop_w;
+  try {
     Image im;
-    if (!decode_file(paths[i], &im)) {
-      std::memset(out + size_t(i) * 3 * crop_h * crop_w, 0,
-                  sizeof(float) * 3 * crop_h * crop_w);
-      continue;
+    bool crop_fits = (crop_mode == 2)
+        || (crop_h <= precrop_h && crop_w <= precrop_w);
+    if (!crop_fits || !decode_file(path, &im)) {
+      std::memset(dst, 0, sizeof(float) * out_elems);
+      return false;
     }
     Image rs;
     int row_off = 0, col_off = 0;
@@ -257,7 +282,6 @@ int dorknet_decode_batch(const char** paths, int n, int precrop_h, int precrop_w
       }
     }
     // crop + HWC-BGR → CHW float32, -128 shift
-    float* dst = out + size_t(i) * 3 * crop_h * crop_w;
     for (int ch = 0; ch < 3; ++ch) {
       for (int y = 0; y < crop_h; ++y) {
         const uint8_t* srow =
@@ -268,7 +292,31 @@ int dorknet_decode_batch(const char** paths, int n, int precrop_h, int precrop_w
         }
       }
     }
-    ok_count += 1;
+    return true;
+  } catch (...) {
+    std::memset(dst, 0, sizeof(float) * out_elems);
+    return false;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + resize-to-precrop + crop + CHW float32 -128 for a batch of images.
+// paths: n null-terminated strings. out: float32 buffer (n, 3, crop, crop),
+// C-contiguous. crop_mode: 0=center, 1=random, 2=plain-resize-to-crop.
+// Returns number of successfully decoded images (failures leave zeros).
+int dorknet_decode_batch(const char** paths, int n, int precrop_h, int precrop_w,
+                         int crop_h, int crop_w, int crop_mode, float* out,
+                         int num_threads, uint64_t seed) {
+  int ok_count = 0;
+#pragma omp parallel for num_threads(num_threads) reduction(+ : ok_count) \
+    schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    if (process_one(paths[i], precrop_h, precrop_w, crop_h, crop_w, crop_mode,
+                    seed, i, out + size_t(i) * 3 * crop_h * crop_w))
+      ok_count += 1;
   }
   return ok_count;
 }
@@ -281,16 +329,20 @@ int dorknet_decode_batch_hwc(const char** paths, int n, int precrop_h,
 #pragma omp parallel for num_threads(num_threads) reduction(+ : ok_count) \
     schedule(dynamic)
   for (int i = 0; i < n; ++i) {
-    Image im;
     uint8_t* dst = out + size_t(i) * precrop_h * precrop_w * 3;
-    if (!decode_file(paths[i], &im)) {
+    try {
+      Image im;
+      if (!decode_file(paths[i], &im)) {
+        std::memset(dst, 0, size_t(precrop_h) * precrop_w * 3);
+        continue;
+      }
+      Image rs;
+      resize_bilinear(im, precrop_h, precrop_w, &rs);
+      std::memcpy(dst, rs.data.data(), rs.data.size());
+      ok_count += 1;
+    } catch (...) {  // exceptions terminate OpenMP regions — zero-fill
       std::memset(dst, 0, size_t(precrop_h) * precrop_w * 3);
-      continue;
     }
-    Image rs;
-    resize_bilinear(im, precrop_h, precrop_w, &rs);
-    std::memcpy(dst, rs.data.data(), rs.data.size());
-    ok_count += 1;
   }
   return ok_count;
 }
@@ -334,6 +386,8 @@ struct Pool {
   bool stopping = false;
   std::mutex jobs_mu;
   std::vector<std::shared_ptr<Job>> jobs;  // index == job id
+  std::vector<int> free_ids;  // released slots, reused so `jobs` stays
+                              // bounded by in-flight jobs, not total submits
 
   void worker_loop() {
     for (;;) {
@@ -348,36 +402,9 @@ struct Pool {
       Job& j = *task.first;
       int i = task.second;
       float* dst = j.out + size_t(i) * 3 * j.crop_h * j.crop_w;
-      Image im;
-      if (!decode_file(j.paths[i].c_str(), &im)) {
-        std::memset(dst, 0, sizeof(float) * 3 * j.crop_h * j.crop_w);
-      } else {
-        Image rs;
-        int row_off = 0, col_off = 0;
-        if (j.crop_mode == 2) {
-          resize_bilinear(im, j.crop_h, j.crop_w, &rs);
-        } else {
-          resize_bilinear(im, j.precrop_h, j.precrop_w, &rs);
-          if (j.crop_mode == 0) {
-            row_off = (j.precrop_h - j.crop_h) / 2;
-            col_off = (j.precrop_w - j.crop_w) / 2;
-          } else {
-            std::mt19937 rng(j.seed + uint64_t(i) * 0x9E3779B97F4A7C15ull);
-            row_off = int(rng() % uint32_t(std::max(1, j.precrop_h - j.crop_h)));
-            col_off = int(rng() % uint32_t(std::max(1, j.precrop_w - j.crop_w)));
-          }
-        }
-        for (int ch = 0; ch < 3; ++ch) {
-          for (int y = 0; y < j.crop_h; ++y) {
-            const uint8_t* srow =
-                &rs.data[((size_t(y + row_off)) * rs.w + col_off) * 3];
-            float* drow = dst + (size_t(ch) * j.crop_h + y) * j.crop_w;
-            for (int x = 0; x < j.crop_w; ++x)
-              drow[x] = float(srow[3 * x + ch]) - 128.0f;
-          }
-        }
+      if (process_one(j.paths[i].c_str(), j.precrop_h, j.precrop_w, j.crop_h,
+                      j.crop_w, j.crop_mode, j.seed, i, dst))
         j.ok_count.fetch_add(1);
-      }
       j.remaining.fetch_sub(1);
     }
   }
@@ -426,8 +453,14 @@ int dk_pool_submit(void* pool, const char** paths, int n, int precrop_h,
   int id;
   {
     std::lock_guard<std::mutex> lk(p->jobs_mu);
-    id = int(p->jobs.size());
-    p->jobs.push_back(job);
+    if (!p->free_ids.empty()) {
+      id = p->free_ids.back();
+      p->free_ids.pop_back();
+      p->jobs[id] = job;
+    } else {
+      id = int(p->jobs.size());
+      p->jobs.push_back(job);
+    }
   }
   {
     std::lock_guard<std::mutex> lk(p->mu);
@@ -451,7 +484,8 @@ int dk_pool_poll(void* pool, int job_id, int* ok_count) {
   if (job->remaining.load() == 0) {
     if (ok_count) *ok_count = job->ok_count.load();
     std::lock_guard<std::mutex> lk(p->jobs_mu);
-    p->jobs[job_id].reset();  // release paths/buffer refs — no unbounded growth
+    p->jobs[job_id].reset();  // release paths/buffer refs
+    p->free_ids.push_back(job_id);  // slot reused by the next submit
     return 1;
   }
   return 0;

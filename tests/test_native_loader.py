@@ -152,3 +152,70 @@ def test_interlaced_png_decodes(tmp_path):
     assert ok == 1
     got = out[0].transpose(1, 2, 0) + 128.0
     np.testing.assert_allclose(got, ref.astype(np.float32), atol=1.0)
+
+
+def test_pool_poll_then_wait_flow(img_paths):
+    """Regression: the documented poll-until-done -> wait flow must work —
+    the native poll releases the job on first 'done', so Python caches
+    completion instead of issuing a second destructive native poll."""
+    import time
+    from dorknet_tpu.native import AsyncDecodePool
+
+    pool = AsyncDecodePool(threads=1)
+    try:
+        j = pool.submit(img_paths[:2], (32, 32), (24, 24), "center")
+        deadline = time.monotonic() + 30
+        while True:
+            done, ok = pool.poll(j)
+            if done:
+                break
+            assert time.monotonic() < deadline
+            time.sleep(0.001)
+        done2, ok2 = pool.poll(j)  # repeat polls stay safe
+        assert done2 and ok2 == ok == 2
+        batch, ok3 = pool.wait(j)  # and the batch is still collectable
+        assert ok3 == 2 and batch.shape == (2, 3, 24, 24)
+        # ids are reused after release — a fresh submit must start clean
+        j2 = pool.submit(img_paths[:1], (32, 32), (24, 24), "center")
+        batch2, okb = pool.wait(j2)
+        assert okb == 1
+    finally:
+        pool.close()
+
+
+def test_crop_larger_than_precrop_raises(img_paths):
+    from dorknet_tpu.native import decode_batch, AsyncDecodePool
+
+    with pytest.raises(ValueError, match="larger than precrop"):
+        decode_batch(img_paths[:1], (20, 20), (24, 24), "center")
+    pool = AsyncDecodePool(threads=1)
+    try:
+        with pytest.raises(ValueError, match="larger than precrop"):
+            pool.submit(img_paths[:1], (20, 20), (24, 24), "random")
+    finally:
+        pool.close()
+
+
+def test_dimension_bomb_png_zero_fills(tmp_path, img_paths):
+    """A crafted PNG declaring 100000x100000 (30 GB) must zero-fill, not
+    bad_alloc->std::terminate the process from the OpenMP region."""
+    import struct
+    import zlib
+    from dorknet_tpu.native import decode_batch
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""))
+    p = str(tmp_path / "bomb.png")
+    with open(p, "wb") as f:
+        f.write(bomb)
+
+    out, ok = decode_batch([p, img_paths[0]], (32, 32), (24, 24), "center")
+    assert ok == 1                       # the bomb failed, the real one decoded
+    assert np.all(out[0] == 0.0)         # zero-filled slot
+    assert np.any(out[1] != 0.0)
