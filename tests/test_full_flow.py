@@ -71,7 +71,13 @@ def test_flagship_flow_miniature(dataset, tmp_path):
             train_loader.shuffle_indices()
             if e == 3:
                 sgd.multiply_learning_rate(0.5)
-            steps = 10
+            # 16 steps/epoch: the loader thread draws crops/mixup from the
+            # GLOBAL np.random concurrently, so realisations are schedule-
+            # dependent (not seedable); with only 10 steps/epoch BN's 0.95-
+            # momentum running stats were still ~21% stale at eval time and
+            # the 0.8 bar occasionally failed under CPU contention. 48 total
+            # steps leaves ~8% staleness and a real margin.
+            steps = 16
             for X, yb, oh in device_prefetch(train_loader.pull_batch(steps)):
                 loss, preds = trainer.step(np.asarray(X), np.asarray(oh))
             acc = net.test(val_loader.pull_batch(5), 6, 30)
