@@ -231,3 +231,13 @@ def test_class_name_map_artifact_resolves_names():
         assert os.path.basename(mod.CLASS_MAP) == "num_to_dog_name_map.json"
         assert os.path.exists(os.path.join(repo_root,
                                            mod.CLASS_MAP.lstrip("./")))
+
+
+def test_serving_demo_smoke(capsys):
+    """The dataset-free serving-ladder demo runs end-to-end (tiny config)."""
+    from examples import serving_demo
+
+    serving_demo.main(steps=8)
+    out = capsys.readouterr().out
+    assert "QuantizedInferenceRunner(int8)" in out
+    assert "EMA" in out
