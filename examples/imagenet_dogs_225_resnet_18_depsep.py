@@ -105,7 +105,13 @@ if __name__ == "__main__":
         dorknet_tpu.set_compute_dtype(jnp.bfloat16)
         logging.info("bf16 activation-flow policy enabled")
     ema_decay = float(os.environ.get("DORKNET_EMA", "0") or 0) or None
-    sgd = SGDMomentum(network, 0.05 * (BATCH_SIZE / 200.0), 0.9)
+    # device mixup emits BOTH convex orderings in one step (2x the source
+    # batch), where the host loader emits them as two separate B-sized
+    # batches — so the on-device path's effective step batch is 2B and the
+    # reference's linear lr rule 0.05*(B/200) scales accordingly (and the
+    # epoch uses half the pulls; see `steps` below)
+    effective_batch = 2 * BATCH_SIZE if ON_DEVICE_AUGMENT else BATCH_SIZE
+    sgd = SGDMomentum(network, 0.05 * (effective_batch / 200.0), 0.9)
     trainer = Trainer(network, sgd, ema_decay=ema_decay)
     logging.info(network)
 
@@ -119,7 +125,10 @@ if __name__ == "__main__":
             if e == 16 or e == 20 or e == 25:
                 logging.info("Multiplying learning rate by 0.5")
                 sgd.multiply_learning_rate(0.5)
-            steps = int(150473 / BATCH_SIZE)
+            # one epoch = ~150,473 trained images on both paths: the host
+            # loader's mixup emits 2 batches per pull already; the device
+            # path trains 2B per pull, so it needs half the pulls
+            steps = int(150473 / BATCH_SIZE / (2 if ON_DEVICE_AUGMENT else 1))
             batches = device_prefetch(train_data_loader.pull_batch(steps))
             aug_key = jax.random.PRNGKey(e)
             for i, (X_batch, y_batch, y_one_hot) in enumerate(
@@ -128,8 +137,11 @@ if __name__ == "__main__":
                     from dorknet_tpu.data_loading.device_augment import train_pipeline
 
                     aug_key, k = jax.random.split(aug_key)
+                    # the loader's uint8 batch goes in AS uint8: the crop
+                    # stage then runs at 1 byte/pixel (train_pipeline
+                    # docstring) — no fp32 cast
                     X_batch, y_one_hot = train_pipeline(
-                        k, X_batch.astype("float32"), y_one_hot, (225, 225),
+                        k, X_batch, y_one_hot, (225, 225),
                         crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
                 loss, preds = trainer.step(X_batch, y_one_hot)
                 loss = float(loss)

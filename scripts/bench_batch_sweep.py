@@ -15,9 +15,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_tpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+try:  # same persistent-cache recipe as bench.py (survives older jax configs)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_comp_cache_" + jax.default_backend())
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 
 
 def log(*a):
@@ -84,7 +88,11 @@ def main(image=225, classes=120, rounds=4):
                     losses, _ = tr.multi_step(Xs, ys)
                     return losses[-1]
             try:
-                float(thunk())  # compile + sync
+                float(thunk())  # compile (BN-adoption trace) + sync
+                # second call compiles the STEADY-STATE trace (BN initialised
+                # is a different static signature — CLAUDE.md); without it
+                # round 0 of the timed loop pays a 30-60 s compile
+                float(thunk())
             except Exception as e:
                 log(f"  {name}: SKIP ({type(e).__name__}: {str(e)[:120]})")
                 continue

@@ -18,9 +18,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_tpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+try:  # same persistent-cache recipe as bench.py (survives older jax configs)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_comp_cache_" + jax.default_backend())
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 
 
 def log(*a):
@@ -122,6 +126,9 @@ def bench_in_graph(batch_size=256, image=225, classes=120, rounds=4, inner=4):
             set_use_pallas(flag)
             loss, _ = tr.step(X, y)
             losses[name] = float(loss)
+            # second warm step: the post-BN-adoption steady-state program is
+            # a different trace — compile it OUTSIDE the timed rounds
+            float(tr.step(X, y)[0])
         log(f"  first-step losses (sanity): {losses}")
 
         best = {}
