@@ -228,6 +228,33 @@ def test_shuffle_stress_no_deadlock(image_dir):
         loader.stop_thread()
 
 
+def test_train_pipeline_aug_dtype_follows_policy():
+    """aug_dtype=None resolves from the compute-dtype policy OUTSIDE the jit
+    (fp32 under the parity default; bf16 only under set_compute_dtype) and a
+    policy flip retraces rather than reusing a stale-dtype program."""
+    import dorknet_tpu
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (4, 40, 40, 3), dtype=np.uint8))
+    oh = jnp.asarray(np.eye(3, dtype=np.float32)[rng.randint(0, 3, 4)])
+    kw = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+              rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+              crop_mode="random")
+    X, _ = da.train_pipeline(jax.random.PRNGKey(0), imgs, oh, (32, 32), **kw)
+    assert X.dtype == jnp.float32  # parity default
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        Xb, _ = da.train_pipeline(jax.random.PRNGKey(0), imgs, oh, (32, 32),
+                                  **kw)
+        assert Xb.dtype == jnp.bfloat16  # production policy, same callable
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    # and an explicit aug_dtype overrides the policy
+    Xf, _ = da.train_pipeline(jax.random.PRNGKey(0), imgs, oh, (32, 32),
+                              aug_dtype="float32", **kw)
+    assert Xf.dtype == jnp.float32
+
+
 def test_back_to_back_shuffles_no_deadlock(image_dir):
     """Regression for the pause-handshake race: a second shuffle_indices
     arriving while the producer is waking from the first could be clobbered
