@@ -4,6 +4,7 @@ from dorknet_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     model_parallel_param_shardings,
+    fsdp_param_shardings,
     shard_network_params,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "model_parallel_param_shardings",
+    "fsdp_param_shardings",
     "shard_network_params",
 ]

@@ -12,6 +12,10 @@ scales through ``jax.sharding`` instead of a hand-rolled transport:
 * **Tensor/model parallel (TP)** — shard output-channel dimensions of the
   weight tensors over a ``model`` axis; XLA propagates activation shardings and
   inserts the boundary collectives. Useful for very wide stretch configs.
+* **FSDP / ZeRO** — ``fsdp_param_shardings`` distributes the parameters (and,
+  by sharding inheritance, optimiser + EMA state) over the ``data`` axis; XLA
+  all-gathers weights just-in-time and reduce-scatters gradients from the
+  annotations alone.
 * **Pipeline (PP), sequence/context (SP/CP) and expert (EP) parallelism are
   N/A by construction** for this framework: a CNN layer zoo with no sequence
   axis, no experts, and models that fit comfortably on one chip (SURVEY §2.7,
@@ -108,3 +112,33 @@ def shard_network_params(network, shardings):
     placed = jax.device_put(network.gather_params(), shardings)
     for l, p in zip(network.layers, placed):
         l.set_params(p)
+
+
+def fsdp_param_shardings(network, mesh, axis="data", min_elems=2048):
+    """ZeRO/FSDP-style sharding pytree: each weight tensor is split along its
+    LARGEST ``axis``-divisible dimension over the data axis, so parameters —
+    and, because ``Optimiser.init_cache``'s ``zeros_like`` and the Trainer's
+    EMA inherit shardings, the optimiser/EMA state too — are distributed
+    across the replicas instead of duplicated. XLA SPMD all-gathers a layer's
+    weights just-in-time for its op and reduce-scatters its gradients back to
+    the sharded layout (the standard ZeRO-3 schedule), purely from these
+    annotations. Tensors under ``min_elems`` (biases, BN affines) stay
+    replicated — sharding them costs more collective latency than the bytes.
+
+    Composes with ``batch_sharding`` on the same mesh (DP+FSDP) and with a
+    second ``model`` axis (TP): pass the respective helper's output per
+    concern. Pass the result as ``Trainer(param_sharding=...)``."""
+    axis_size = mesh.shape[axis]
+
+    def spec_for(arr):
+        if arr.size < min_elems:
+            return NamedSharding(mesh, P())
+        dims = sorted(range(arr.ndim), key=lambda d: -arr.shape[d])
+        for d in dims:
+            if arr.shape[d] % axis_size == 0 and arr.shape[d] >= axis_size:
+                spec = [None] * arr.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, network.gather_params())

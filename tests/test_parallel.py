@@ -160,3 +160,40 @@ def test_dp_multi_step_sharded():
                    batch_sharding=batch_sharding(mesh))
     lb, _ = tr_b.multi_step(Xs, ys)
     np.testing.assert_allclose(np.asarray(lb), la, rtol=1e-4)
+
+
+def test_fsdp_param_sharding_matches_and_distributes():
+    """FSDP/ZeRO: params (and inherited optimiser state) sharded over the
+    data axis must train trajectory-identically to the unsharded run, and the
+    big weight tensors must really be distributed (shard < full size)."""
+    from dorknet_tpu.parallel import fsdp_param_shardings
+
+    X, y = batch(16)
+
+    net_a = build(9)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"data": 8})
+    net_b = build(9)
+    shardings = fsdp_param_shardings(net_b, mesh, min_elems=64)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh),
+                   param_sharding=shardings)
+
+    for _ in range(4):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]),
+        rtol=1e-4, atol=1e-5)
+
+    # the conv weight (16,3,3,3: dim0=16 divisible by 8) is genuinely sharded
+    w = net_b.layers[0].learned_params["weights"]
+    shard_shape = w.addressable_shards[0].data.shape
+    assert shard_shape[0] == w.shape[0] // 8, (shard_shape, w.shape)
+    # ...and so is the optimiser's momentum cache (ZeRO: state distributed)
+    cache_leaf = jax.tree_util.tree_leaves(tr_b._cache)[0]
+    assert len(cache_leaf.sharding.device_set) == 8
