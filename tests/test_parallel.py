@@ -197,3 +197,22 @@ def test_fsdp_param_sharding_matches_and_distributes():
     # ...and so is the optimiser's momentum cache (ZeRO: state distributed)
     cache_leaf = jax.tree_util.tree_leaves(tr_b._cache)[0]
     assert len(cache_leaf.sharding.device_set) == 8
+
+
+def test_fsdp_ema_shadow_inherits_sharding():
+    """The fused EMA shadow initialises from the placed params, so under FSDP
+    it is distributed too (not a replicated extra copy per device)."""
+    from dorknet_tpu.parallel import fsdp_param_shardings
+
+    X, y = batch(16)
+    mesh = make_mesh({"data": 8})
+    net = build(11)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9), ema_decay=0.9,
+                 batch_sharding=batch_sharding(mesh),
+                 param_sharding=fsdp_param_shardings(net, mesh, min_elems=64))
+    for _ in range(2):
+        tr.step(X, y)
+    ema_leaf = jax.tree_util.tree_leaves(tr._ema)[0]
+    assert len(ema_leaf.sharding.device_set) == 8
+    shard = ema_leaf.addressable_shards[0].data.shape
+    assert shard[0] == ema_leaf.shape[0] // 8, (shard, ema_leaf.shape)

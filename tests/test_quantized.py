@@ -267,6 +267,36 @@ def test_quantized_stretch_models(family):
     assert np.abs(p_fp - p_q).max() < tol
 
 
+def test_quantized_under_bf16_policy():
+    """The serving benches run the quantizer under set_compute_dtype(bf16)
+    (non-quant layers + rescale outputs flow bf16) — decisions must still
+    match the fp32-policy quantized server."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import MNISTNet
+
+    np.random.seed(0)
+    X = np.random.randn(16, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 16)]
+    # train to confident decisions: a 3-step net's near-uniform probs let
+    # bf16 rounding flip genuine coin-toss argmaxes
+    net = _trained(MNISTNet("q-bf16"), X, y, steps=12, lr=0.05)
+
+    q32 = QuantizedInferenceRunner(net, batch_size=16)
+    q32.calibrate([X])
+    p32 = q32.predict_probs(X)
+
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        qb = QuantizedInferenceRunner(net, batch_size=16)
+        qb.calibrate([X])
+        pb = qb.predict_probs(X)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    assert (p32.argmax(1) == pb.argmax(1)).mean() == 1.0
+    assert np.abs(p32 - pb).max() < 0.05
+
+
 def test_quantized_predict_iter_streams_batches():
     """The inherited streaming API (prefetched device_put, ragged padding)
     works against the quantised program and matches predict_probs."""
