@@ -129,13 +129,25 @@ def test_image_data_loader_mixup_pairs(image_dir):
                              class_balance=False, mixup_range_tuple=(0.2, 0.2))
     try:
         (X1, y1, oh1), (X2, y2, oh2) = list(loader.pull_batch(2))
-        # soft labels sum to 1 and are proper mixtures
+        # soft labels sum to 1
         np.testing.assert_allclose(oh1.sum(1), 1.0, rtol=1e-5)
-        assert ((oh1 > 0) & (oh1 < 1)).any() or (oh1 == 1).all()
-        # the pair are convex combos of the same two batches: X1+X2 = B1+B2 and
-        # with lam=0.2 fixed, X1 = 0.2*B2+0.8*B1, X2 = 0.2*B1+0.8*B2
-        np.testing.assert_allclose(0.8 * X1 + 0.2 * X2,
-                                   0.2 * X2 + 0.8 * X1)  # trivial sanity
+        # With lam fixed at 0.2: X1 = 0.2*B2 + 0.8*B1 and X2 = 0.2*B1 + 0.8*B2
+        # for the SAME two source batches. Invert the blend: the recovered
+        # sources must be valid preprocessor outputs — integral uint8-128
+        # values in [-128, 127] — which a wrong lam, unpaired batches, or
+        # unblended passthrough cannot produce from both equations at once.
+        B1 = (0.8 * X1 - 0.2 * X2) / 0.6
+        B2 = (0.8 * X2 - 0.2 * X1) / 0.6
+        for B in (B1, B2):
+            assert B.min() >= -128.5 and B.max() <= 127.5
+            np.testing.assert_allclose(B, np.round(B), atol=0.02)
+        # recovered labels are the pure one-hots of the emitted label lists
+        o1 = (0.8 * oh1 - 0.2 * oh2) / 0.6
+        o2 = (0.8 * oh2 - 0.2 * oh1) / 0.6
+        for o, ylist in ((o1, y1), (o2, y2)):
+            np.testing.assert_allclose(o.sum(1), 1.0, atol=1e-4)
+            np.testing.assert_allclose(o.max(1), 1.0, atol=1e-4)
+            np.testing.assert_array_equal(o.argmax(1), np.asarray(ylist))
     finally:
         loader.stop_thread()
 
@@ -168,13 +180,14 @@ def test_device_hsv_roundtrip_matches_cv2():
     rng = np.random.RandomState(1)
     im = rng.randint(0, 255, (16, 16, 3)).astype(np.float32)
     hsv = np.asarray(da._bgr_to_hsv(jnp.asarray(im)))
-    ref = cv2.cvtColor(im.astype(np.uint8), cv2.COLOR_BGR2HSV_FULL).astype(np.float32)
-    # cv2 integer HSV has H in [0,180) (not _FULL); compare against exact float conversion
-    ref_f = cv2.cvtColor(im / 255.0, cv2.COLOR_BGR2HSV)  # float path: H in [0,360), S,V in [0,1]
+    # compare against cv2's exact float conversion: H in [0,360), S,V in [0,1]
+    ref_f = cv2.cvtColor(im / 255.0, cv2.COLOR_BGR2HSV)
     np.testing.assert_allclose(hsv[..., 0] * 2.0, ref_f[..., 0], atol=0.75)
     np.testing.assert_allclose(hsv[..., 1] / 255.0, ref_f[..., 1], atol=0.01)
-    np.testing.assert_allclose(hsv[..., 2] / 255.0, ref_f[..., 2] * 255.0 / 255.0,
-                               rtol=1e-3, atol=0.5)
+    # V = max(B,G,R): an exact computation on both sides, so tight tolerance
+    # (both operands are on the [0,1] scale here)
+    np.testing.assert_allclose(hsv[..., 2] / 255.0, ref_f[..., 2],
+                               rtol=1e-4, atol=1e-3)
     back = np.asarray(da._hsv_to_bgr(da._bgr_to_hsv(jnp.asarray(im))))
     np.testing.assert_allclose(back, im, atol=0.5)
 

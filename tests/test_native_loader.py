@@ -8,14 +8,16 @@ import pytest
 
 from dorknet_tpu.native import native_loader_available, build_native
 
+_build_err = ""
 if not native_loader_available():
     try:
         build_native()
-    except Exception:
-        pass
+    except Exception as e:  # surface WHY in the skip reason — a silent
+        _build_err = ": {}: {}".format(type(e).__name__, e)  # green skip
+        # would hide a compile regression of the C++ loader
 
 pytestmark = pytest.mark.skipif(not native_loader_available(),
-                                reason="native loader not built")
+                                reason="native loader not built" + _build_err)
 
 
 @pytest.fixture
@@ -135,19 +137,58 @@ def test_async_pool_released_after_poll(img_paths):
         pool.close()
 
 
+def _write_adam7_png(path, rgb):
+    """Hand-write a REAL Adam7-interlaced PNG (Pillow silently ignores its
+    unsupported ``interlace=True`` save kwarg, which made the previous
+    version of this test exercise a plain PNG)."""
+    import struct
+    import zlib
+
+    h, w = rgb.shape[:2]
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    # IHDR: bit depth 8, colour type 2 (RGB), interlace = 1 (Adam7)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    # Adam7 passes: (x_start, y_start, x_step, y_step)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        ys = range(y0, h, dy)
+        xs = range(x0, w, dx)
+        if not ys or not xs:
+            continue
+        for y in ys:
+            raw.append(0)  # filter: None
+            for x in xs:
+                raw.extend(rgb[y, x].tobytes())
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
 def test_interlaced_png_decodes(tmp_path):
     """Regression: Adam7-interlaced PNGs must decode identically to cv2."""
     import cv2
     from dorknet_tpu.native import decode_batch
-    from PIL import Image as PILImage
 
     rng = np.random.RandomState(5)
-    arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+    arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)  # RGB
     p = str(tmp_path / "interlaced.png")
-    PILImage.fromarray(arr).save(p, interlace=True)
-    # sanity: PIL wrote an interlaced file readable by cv2
+    _write_adam7_png(p, arr)
+    # sanity: the file really is interlaced (IHDR interlace byte == 1)...
+    with open(p, "rb") as f:
+        header = f.read(33)
+    assert header[28] == 1, "fixture is not Adam7-interlaced"
+    # ...and cv2 decodes it back to the exact pixels (BGR order)
     ref = cv2.imread(p)
     assert ref is not None
+    np.testing.assert_array_equal(ref, arr[:, :, ::-1])
     out, ok = decode_batch([p], (40, 40), (40, 40), "resize")
     assert ok == 1
     got = out[0].transpose(1, 2, 0) + 128.0
