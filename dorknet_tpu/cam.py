@@ -82,7 +82,10 @@ def compute_cam_scores(net, X, top_k=3, terminal_layer_name="res8", out_size=225
     # cache lives ON the network (bounded by its lifetime) and is pruned on
     # structure/BN-state changes, so dropped networks and stale traces are
     # collectable.
+    from dorknet_tpu.config import trace_signature
+
     key = (net._version, top_k, terminal_layer_name, out_size,
+           trace_signature(),
            tuple(l._trace_signature() for l in net.layers))
     cache = _prune_cam_cache(net)
     if key not in cache:
@@ -136,7 +139,10 @@ def compute_cam_scores_batch(net, X, top_k=3, terminal_layer_name="res8",
     image's maps ordered by its own descending class score. Tap semantics
     match the reference exactly (per-image batch statistics, no BN state
     mutation) via a vmapped batch-of-one forward."""
+    from dorknet_tpu.config import trace_signature
+
     key = ("batch", net._version, top_k, terminal_layer_name, out_size,
+           trace_signature(),
            tuple(l._trace_signature() for l in net.layers))
     cache = _prune_cam_cache(net)
     if key not in cache:

@@ -50,3 +50,12 @@ def set_use_pallas(flag: bool):
 
 def use_pallas() -> bool:
     return _USE_PALLAS
+
+
+def trace_signature():
+    """Hashable tuple of every global policy read at TRACE time by the ops
+    layer (compute dtype, pallas gate, matmul precision). Any jit cache keyed
+    on network structure must ALSO key on this, or flipping a policy after a
+    trace silently reuses the old numerics (the stale-trace class CLAUDE.md
+    warns about — confirmed reproducible before this key existed)."""
+    return (jnp.dtype(_COMPUTE_DTYPE).name, _USE_PALLAS, _MATMUL_PRECISION)

@@ -121,7 +121,11 @@ class Layer:
         return True
 
     def _jit_for(self, key, fn):
-        key = key + self._trace_signature()
+        from dorknet_tpu.config import trace_signature
+
+        # config globals are read at trace time — key on them too, or a
+        # policy flip (compute dtype / pallas / precision) reuses stale traces
+        key = key + self._trace_signature() + trace_signature()
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]

@@ -86,7 +86,9 @@ class FeedForwardNetwork:
         return x, new_states, reported_reg, full_reg, tapped
 
     def _jit_for(self, kind, fn, **jit_kwargs):
-        key = (kind, self._version,
+        from dorknet_tpu.config import trace_signature
+
+        key = (kind, self._version, trace_signature(),
                tuple(l._trace_signature() for l in self.layers))
         if key not in self._jit_cache:
             # Wrap in a fresh closure: jax.jit's global trace cache is keyed by
@@ -158,6 +160,11 @@ class FeedForwardNetwork:
             # reference's tap mutates BN running stats as a side effect
             # (SURVEY §3.3); we normalise with batch stats (same numerics) but
             # do NOT write the stats back.
+            if all(l.layer_name != terminal_layer_name for l in self.layers):
+                raise ValueError(
+                    "terminal_layer_name '{}' matches no layer (have: {})"
+                    .format(terminal_layer_name,
+                            [l.layer_name for l in self.layers]))
             if test_mode:
                 fn = self._jit_for(("tap_test", terminal_layer_name),
                                    lambda p, s, x: self._tap_fn_test(

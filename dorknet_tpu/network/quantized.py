@@ -150,8 +150,12 @@ class QuantizedInferenceRunner(InferenceRunner):
         for X in batches:
             X = np.asarray(X, np.float32)
             for i in range(0, X.shape[0], self.batch_size):
-                chunk, _ = self._pad_to_batch(X[i:i + self.batch_size])
-                m = np.asarray(fn(self._params, jnp.asarray(chunk)))
+                part = X[i:i + self.batch_size]
+                # pad ragged chunks by CYCLING real rows, not zeros: a zero
+                # image produces the folded-bias response at every layer and
+                # would skew the recorded maxima (inflated static scales)
+                idx = np.arange(self.batch_size) % part.shape[0]
+                m = np.asarray(fn(self._params, jnp.asarray(part[idx])))
                 running = m if running is None else np.maximum(running, m)
         if running is None:
             raise ValueError("calibrate() needs at least one batch")

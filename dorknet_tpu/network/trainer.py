@@ -49,10 +49,16 @@ class Trainer:
         self._ema = None    # shadow params tree (when ema_decay is set)
 
     def _signature(self):
-        hyper = (self.optimiser.hyper_key()
-                 if hasattr(self.optimiser, "hyper_key") else ())
+        from dorknet_tpu.config import trace_signature
+
+        # the CLASS is part of the key: different optimisers can share a
+        # hyper tuple (SGDMomentum(0.9) vs RMSProp(0.9)) but trace different
+        # update rules
+        hyper = (type(self.optimiser).__name__,) + (
+            self.optimiser.hyper_key()
+            if hasattr(self.optimiser, "hyper_key") else ())
         return (self.network._version, self.remat, self.input_layout,
-                self.ema_decay, hyper,
+                self.ema_decay, hyper, trace_signature(),
                 tuple(l._trace_signature() for l in self.network.layers))
 
     def _ema_update(self, ema, new_params):
@@ -159,10 +165,12 @@ class Trainer:
         y = jax.device_put(y, self.batch_sharding)
         return X, y
 
-    def step(self, X, y_one_hot):
-        """One fused train step. Returns (loss, predicted_class_ids) as device
-        arrays (don't block on them — the next step can be dispatched while these
-        materialise)."""
+    def _prepare(self):
+        """Shared step preamble: gather params/states, one-time param
+        placement, optimiser-cache init (invalidated when the OPTIMISER
+        OBJECT changes — reusing another optimiser's state tree, e.g.
+        momentum buffers as RMSProp accumulators, would be silently wrong),
+        EMA shadow init. Returns (params, states)."""
         network = self.network
         params = network.gather_params()
         states = network.gather_states()
@@ -170,19 +178,31 @@ class Trainer:
             # place once — step outputs keep their shardings thereafter
             params = jax.device_put(params, self.param_sharding)
             self._params_placed = True
+        if getattr(self, "_cache_owner", None) is not self.optimiser:
+            self._cache = None
+            self._cache_owner = self.optimiser
         if self._cache is None:
             self._cache = self.optimiser.init_cache(params)
         self._ensure_ema(params)
+        return params, states
+
+    def _commit(self, new_params, new_states):
+        for l, p in zip(self.network.layers, new_params):
+            l.set_params(p)
+        self.network.scatter_states(new_states)
+
+    def step(self, X, y_one_hot):
+        """One fused train step. Returns (loss, predicted_class_ids) as device
+        arrays (don't block on them — the next step can be dispatched while these
+        materialise)."""
+        params, states = self._prepare()
         X, y_one_hot = self._place_batch(X, y_one_hot)
 
         fn = self._get_step()
         new_params, new_states, self._cache, self._ema, loss, preds = fn(
             params, states, self._cache, self._ema, X, y_one_hot,
             self.optimiser.device_lr())
-
-        for l, p in zip(network.layers, new_params):
-            l.set_params(p)
-        network.scatter_states(new_states)
+        self._commit(new_params, new_states)
         return loss, preds
 
     # ------------------------------------------------------------------ #
@@ -236,22 +256,13 @@ class Trainer:
                 X0 = jnp.transpose(jnp.asarray(X0), (0, 3, 1, 2))
             network.forward(X0, y_stack[0])
             network._pending_grads = None
-        params = network.gather_params()
-        states = network.gather_states()
-        if self.param_sharding is not None and not getattr(self, "_params_placed", False):
-            params = jax.device_put(params, self.param_sharding)
-            self._params_placed = True
-        if self._cache is None:
-            self._cache = self.optimiser.init_cache(params)
-        self._ensure_ema(params)
+        params, states = self._prepare()
         Xs, ys = self._place_batch(X_stack, y_stack)
         fn = self._get_accum_step()
         new_params, new_states, self._cache, self._ema, loss = fn(
             params, states, self._cache, self._ema, Xs, ys,
             self.optimiser.device_lr())
-        for l, p in zip(network.layers, new_params):
-            l.set_params(p)
-        network.scatter_states(new_states)
+        self._commit(new_params, new_states)
         return loss
 
     # ------------------------------------------------------------------ #
@@ -292,24 +303,20 @@ class Trainer:
         y_stack: (K, B, num_classes). Returns (losses (K,), preds (K, B)).
 
         Requires batch-norm running stats to be initialised (the first-batch
-        adoption is a different trace) — if they aren't, the first slice runs
-        as a regular step."""
+        adoption is a different trace) — if they aren't, ALL K slices of this
+        first call run through the single-step program (one compile that is
+        reused forever) rather than compiling a throwaway K-1-length scan
+        used exactly once."""
         network = self.network
         if not all(l.bn_initialized() for l in network.layers):
-            first_loss, first_preds = self.step(X_stack[0], y_stack[0])
-            if X_stack.shape[0] == 1:
-                return jnp.stack([first_loss]), jnp.stack([first_preds])
-            rest_losses, rest_preds = self.multi_step(X_stack[1:], y_stack[1:])
-            return (jnp.concatenate([jnp.stack([first_loss]), rest_losses]),
-                    jnp.concatenate([jnp.stack([first_preds]), rest_preds]))
+            losses, preds = [], []
+            for i in range(X_stack.shape[0]):
+                li, pi = self.step(X_stack[i], y_stack[i])
+                losses.append(li)
+                preds.append(pi)
+            return jnp.stack(losses), jnp.stack(preds)
 
-        params = network.gather_params()
-        states = network.gather_states()
-        if self.param_sharding is not None and not getattr(self, "_params_placed", False):
-            params = jax.device_put(params, self.param_sharding)
-            self._params_placed = True
-        if self._cache is None:
-            self._cache = self.optimiser.init_cache(params)
+        params, states = self._prepare()
         if self.batch_sharding is not None:
             # stacked layout (K, B, ...): shard dim 1 (batch), replicate K
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -325,12 +332,9 @@ class Trainer:
         else:
             Xs, ys = self._place_batch(X_stack, y_stack)
 
-        self._ensure_ema(params)
         fn = self._get_multi_step()
         new_params, new_states, self._cache, self._ema, losses, preds = fn(
             params, states, self._cache, self._ema, Xs, ys,
             self.optimiser.device_lr())
-        for l, p in zip(network.layers, new_params):
-            l.set_params(p)
-        network.scatter_states(new_states)
+        self._commit(new_params, new_states)
         return losses, preds

@@ -89,9 +89,15 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     from dorknet_tpu.config import use_pallas
 
     C = w_cfhfw.shape[0]
+    # VMEM bound: the kernel holds one image's padded slab (+ fp32 upcast and
+    # accumulator) per channel block in VMEM; large-spatial blocks would fail
+    # Mosaic allocation at compile time — fall back to XLA instead
+    _vmem_ok = ((x.shape[1] + 2) * (x.shape[2] + 2) * min(C, 256) * 4
+                <= 4 * 1024 * 1024)
     if (use_pallas() and stride in (1, 2) and padding == 1
             and w_cfhfw.shape[1:] == (3, 3)
             and (C <= 512 or C % 256 == 0)  # kernel channel-blocking precondition
+            and _vmem_ok
             and jax.default_backend() == "tpu"):
         from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
 

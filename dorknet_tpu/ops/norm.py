@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bn_core(x, gamma, beta, eps):
+def _bn_core_prim(x, gamma, beta, eps):
     """Batch-stat normalise with a hand-written minimal-reduction VJP.
 
     Autodiff through the mean/var chain emits ~4-5 separate full-tensor
@@ -38,9 +38,20 @@ def _bn_core(x, gamma, beta, eps):
 
     (the same formula the reference derives by hand, layers/batch_norm.py:124-174).
     Forward uses E[x²]−E[x]² so mean and var come from ONE pass over x.
-    Returns (y, mean, std) with stats in fp32; y in x.dtype."""
+    Returns (y, mean, std) with stats in fp32; y in x.dtype. Use the
+    ``_bn_core`` wrapper, which stop_gradients the stats outputs (this
+    custom VJP propagates only y's cotangent)."""
     y, mean, std, _, _ = _bn_core_fwd_impl(x, gamma, beta, eps)
     return y, mean, std
+
+
+def _bn_core(x, gamma, beta, eps):
+    """Public wrapper: the stats outputs are stop_gradient'd OUTSIDE the
+    custom-vjp function, so a caller differentiating through mean/std gets
+    declared-zero gradients instead of the silently-dropped cotangents the
+    hand-written bwd (which reads only y's cotangent) would produce."""
+    y, mean, std = _bn_core_prim(x, gamma, beta, eps)
+    return y, jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
 
 
 def _bn_core_fwd_impl(x, gamma, beta, eps):
@@ -76,7 +87,7 @@ def _bn_core_bwd(eps, res, cts):
     return dx.astype(cts[0].dtype), dgamma, dbeta
 
 
-_bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
+_bn_core_prim.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
 def batch_norm_train(x, gamma, beta, running_mean, running_std, momentum=0.95,

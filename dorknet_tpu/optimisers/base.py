@@ -79,7 +79,9 @@ class Optimiser:
         grads = self.gather_grads()
         if getattr(self, "grad_cache", None) is None:
             self.grad_cache = self.init_cache(params)
-        key = self.hyper_key()
+        from dorknet_tpu.config import trace_signature
+
+        key = self.hyper_key() + trace_signature()
         if self._update_jit is None or getattr(self, "_jit_hyper", None) != key:
             def _fresh(p, g, c, lr, _f=self.apply_update):
                 return _f(p, g, c, lr)

@@ -178,9 +178,16 @@ def test_trainer_multi_step_matches_sequential():
 
     net_b = small_net(seed=11)
     tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9))
+    # first call: BN uninitialised -> the all-single-step fallback path
     losses, preds = tr_b.multi_step(Xs, ys)
     np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-4, atol=1e-6)
     assert np.asarray(preds).shape == (4, 8)
+    # second call: BN initialised -> the fused lax.scan program; trajectory
+    # must keep matching sequential steps
+    seq_losses2 = [float(tr_a.step(Xs[i], ys[i])[0]) for i in range(4)]
+    losses2, preds2 = tr_b.multi_step(Xs, ys)
+    np.testing.assert_allclose(np.asarray(losses2), seq_losses2,
+                               rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(net_a.layers[0].learned_params["weights"]),
         np.asarray(net_b.layers[0].learned_params["weights"]), rtol=1e-4, atol=1e-6)
@@ -439,3 +446,72 @@ def test_remat_bf16_trains():
         assert np.isfinite(float(l1)) and float(l1) < float(l0)
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
+
+
+def test_config_flip_retraces_not_stale():
+    """Confirmed bug before the fix: jit caches keyed only on structure
+    reused the fp32 trace after set_compute_dtype(bfloat16). The SAME network
+    object must now produce the same outputs as a fresh network under the
+    new policy."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=31)
+    # train-mode forwards: BN uses batch stats, so outputs are
+    # state-independent and comparable across objects
+    _, probs_fp32 = net.forward(X, one_hot)
+
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        _, probs_bf16 = net.forward(X, one_hot)  # same object, new policy
+        fresh = small_net(seed=31)
+        _, probs_fresh = fresh.forward(X, one_hot)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    # the flipped-policy run matches a fresh bf16 network bit-for-bit...
+    np.testing.assert_array_equal(np.asarray(probs_bf16),
+                                  np.asarray(probs_fresh))
+    # ...and genuinely differs from the fp32 trace's output
+    assert np.abs(np.asarray(probs_bf16) - np.asarray(probs_fp32)).max() > 0
+
+
+def test_optimiser_swap_resets_state():
+    """Swapping trainer.optimiser mid-run must NOT feed the old optimiser's
+    cache (e.g. momentum velocities) to the new one as its state."""
+    import jax
+    from dorknet_tpu.optimisers import RMSProp
+
+    X, y, one_hot = toy_batch(B=8)
+
+    net_a = small_net(seed=33)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    for _ in range(2):
+        tr_a.step(X, one_hot)
+    snapshot = [jax.tree_util.tree_map(np.asarray, l.get_params())
+                for l in net_a.layers]
+
+    # reference: a FRESH RMSProp trainer from the snapshot
+    net_b = small_net(seed=33)
+    for l, p in zip(net_b.layers, snapshot):
+        l.set_params(jax.tree_util.tree_map(jnp.asarray, p))
+    net_b.scatter_states([l.get_state() for l in net_a.layers])
+    tr_b = Trainer(net_b, RMSProp(net_b, 0.01, 0.9))
+    tr_b.step(X, one_hot)
+
+    # swap on the live trainer: must match the fresh-RMSProp trajectory
+    tr_a.optimiser = RMSProp(net_a, 0.01, 0.9)
+    tr_a.step(X, one_hot)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_unknown_terminal_layer_name_is_clear_error():
+    import pytest
+
+    X, y, one_hot = toy_batch(B=4)
+    net = small_net(seed=35)
+    with pytest.raises(ValueError, match="matches no layer"):
+        net.forward(X, None, test_mode=True, terminal_layer_name="typo")
