@@ -240,7 +240,11 @@ class ImageDataLoader:
             from dorknet_tpu.native import decode_batch
 
             pp = self.preprocessor
-            crop = (pp.image_size[1], pp.image_size[0])
+            # native decode_batch takes (rows, cols); the cv2 path crops
+            # image_size[0] ROWS x image_size[1] cols (reference indexing,
+            # image_preprocessor.crop_origin) — pass the same axis order so
+            # both decode paths agree for non-square sizes
+            crop = (pp.image_size[0], pp.image_size[1])
             precrop = (pp.precrop_size[1], pp.precrop_size[0])
             mode = pp.crop_mode if pp.crop_mode in ("center", "random") else "resize"
             out, ok = decode_batch(X_batch_list, precrop, crop, mode,

@@ -38,6 +38,11 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     coordinator env vars); if no cluster is detectable (plain single host),
     this is a harmless no-op. Returns (process_count, process_index)."""
     if coordinator_address or (num_processes is not None and num_processes > 1):
+        if coordinator_address and (num_processes is None or process_id is None):
+            raise ValueError(
+                "initialize(coordinator_address=...) needs num_processes AND "
+                "process_id outside managed-cluster environments; pass all "
+                "three, or none for auto-detection")
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

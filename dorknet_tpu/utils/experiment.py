@@ -10,7 +10,9 @@ Checkpoint format is the reference's h5+json (accuracy-stamped
 import os
 import re
 
-_CKPT_RE = re.compile(r"epoch_(\d+)_testacc_([0-9.]+?)\.h5$")
+_CKPT_RE = re.compile(r"epoch_(\d+)_testacc_([0-9.eE+-]+?)\.h5$")
+# accuracy group accepts scientific notation: str(6.1e-05)
+# names real early-epoch checkpoints on many-class problems
 
 
 def checkpoint_path(experiment_dir, epoch, test_acc):

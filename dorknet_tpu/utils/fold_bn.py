@@ -70,14 +70,25 @@ def _fold_list(layers):
     return out
 
 
+def _clear_jit_caches(layers):
+    """Recursively drop per-layer jit caches (incl. ResidualBlock children) —
+    deep-copying populated caches drags dozens of compiled PjitFunction
+    objects through deepcopy and retains them for the folded network's
+    lifetime. Cleared on the SOURCE before copying (they regenerate on the
+    next forward) so the copy never touches them."""
+    for l in layers:
+        l._jit_cache = {}
+        if hasattr(l, "_children"):
+            _clear_jit_caches(l._children())
+
+
 def fold_batch_norms(network):
     """Returns a deep-copied network with conv→BN pairs folded for inference."""
     from dorknet_tpu.network import FeedForwardNetwork
 
     folded = FeedForwardNetwork(network.name + "_bnfolded")
+    _clear_jit_caches(network.layers)
     layers = copy.deepcopy(network.layers)
-    for l in layers:
-        l._jit_cache = {}
     folded.layers = _fold_list(layers)
     folded.loss_layer = copy.deepcopy(network.loss_layer)
     folded._version += 1

@@ -14,6 +14,8 @@ def _state_tree(network, trainer=None):
     }
     if trainer is not None and trainer._cache is not None:
         tree["opt_cache"] = trainer._cache
+    if trainer is not None and getattr(trainer, "_ema", None) is not None:
+        tree["ema"] = trainer._ema
     return tree
 
 
@@ -48,15 +50,30 @@ def load_checkpoint(path, network, trainer=None):
                    "states": network.gather_states()}
     restored = None
     if trainer is not None:
-        target = dict(base_target)
-        target["opt_cache"] = (trainer._cache if trainer._cache is not None
-                               else trainer.optimiser.init_cache(
-                                   network.gather_params()))
-        try:
-            restored = ckptr.restore(path, target)
+        wants_ema = (getattr(trainer, "_ema", None) is not None
+                     or trainer.ema_decay is not None)
+        # try the richest structural target first (opt cache + EMA shadow),
+        # degrading gracefully for checkpoints saved without the EMA
+        for with_ema in ((True, False) if wants_ema else (False,)):
+            target = dict(base_target)
+            target["opt_cache"] = (trainer._cache if trainer._cache is not None
+                                   else trainer.optimiser.init_cache(
+                                       network.gather_params()))
+            if with_ema:
+                target["ema"] = (trainer._ema if trainer._ema is not None
+                                 else network.gather_params())
+            try:
+                restored = ckptr.restore(path, target)
+            except Exception:
+                restored = None
+                continue
             trainer._cache = restored["opt_cache"]
-        except Exception:
-            restored = None
+            # mark the cache as belonging to THIS optimiser, or the first
+            # step's _prepare would wipe the restored state back to zeros
+            trainer._cache_owner = trainer.optimiser
+            if with_ema:
+                trainer._ema = restored["ema"]
+            break
     if restored is None:
         try:
             restored = ckptr.restore(path, base_target)

@@ -37,10 +37,10 @@ class StepTimer:
         """Images/sec since reset, after forcing the dispatched chain to
         complete (fetches the last sync value)."""
         if self._last_value is not None:
-            try:
-                float(jax.numpy.ravel(self._last_value)[0])
-            except Exception:
-                pass
+            # the fetch IS the sync — a swallowed failure here would report a
+            # dispatch rate, the exact dishonest number this class exists to
+            # prevent (CLAUDE.md timing rule). Let fetch errors propagate.
+            float(jax.numpy.ravel(self._last_value)[0])
         dt = time.perf_counter() - self._start
         return self._items / dt if dt > 0 else 0.0
 

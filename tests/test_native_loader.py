@@ -260,3 +260,29 @@ def test_dimension_bomb_png_zero_fills(tmp_path, img_paths):
     assert ok == 1                       # the bomb failed, the real one decoded
     assert np.all(out[0] == 0.0)         # zero-filled slot
     assert np.any(out[1] != 0.0)
+
+
+def test_nonsquare_crop_matches_cv2_path(tmp_path):
+    """Both decode paths must agree on axis order for NON-square sizes: the
+    cv2 path crops image_size[0] rows x image_size[1] cols (reference
+    indexing) and the native call now passes the same (rows, cols) order —
+    previously the two paths produced transposed shapes."""
+    import cv2
+    from dorknet_tpu.data_loading import ImagePreprocessor
+    from dorknet_tpu.native import decode_batch
+
+    rng = np.random.RandomState(3)
+    im = rng.randint(0, 255, (100, 140, 3), dtype=np.uint8)
+    p = str(tmp_path / "ns.png")
+    cv2.imwrite(p, im)
+
+    # explicit precrop: the reference's 1.25x default combined with its
+    # swapped-axis cropping is only self-consistent for square sizes
+    pp = ImagePreprocessor(image_size=(24, 32), crop_mode="center",
+                           precrop_size=(44, 36))
+    host = pp.load_image(p)  # (3, 24 rows, 32 cols)
+    out, ok = decode_batch([p], (pp.precrop_size[1], pp.precrop_size[0]),
+                           (pp.image_size[0], pp.image_size[1]), "center")
+    assert ok == 1
+    assert out[0].shape == host.shape, (out[0].shape, host.shape)
+    np.testing.assert_allclose(out[0], host, atol=2.0)  # resize rounding

@@ -255,3 +255,68 @@ def test_experiment_empty_factory_preserves_subclass(tmp_path):
     exp.save_epoch(net, 1, 0.5)
     net2, start2 = exp.resume_or_init()
     assert isinstance(net2, MNISTNet) and start2 == 2
+
+
+def test_orbax_restored_momentum_survives_first_step(tmp_path):
+    """Regression: load_checkpoint must mark the restored cache as owned by
+    the trainer's optimiser — previously the first step's _prepare wiped the
+    restored momentum back to zeros (silently, since step() returns the
+    pre-update loss). Pin it on the PARAMS after the post-restore step."""
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.utils.orbax_io import save_checkpoint, load_checkpoint
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=71)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    for _ in range(3):  # build real momentum
+        tr.step(X, one_hot)
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, net, tr)
+
+    net2 = small_net(seed=72)
+    tr2 = Trainer(net2, SGDMomentum(net2, 0.05, 0.9))
+    load_checkpoint(p, net2, tr2)
+    tr.step(X, one_hot)
+    tr2.step(X, one_hot)  # must use the RESTORED velocities, not zeros
+    np.testing.assert_allclose(
+        np.asarray(net.layers[0].learned_params["weights"]),
+        np.asarray(net2.layers[0].learned_params["weights"]),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_orbax_ema_shadow_roundtrip(tmp_path):
+    """The EMA shadow is part of the checkpoint when the trainer keeps one —
+    resuming must not silently reset the weight average."""
+    from tests.test_network import small_net, toy_batch
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.utils.orbax_io import save_checkpoint, load_checkpoint
+    import jax
+
+    X, y, one_hot = toy_batch(B=8)
+    net = small_net(seed=73)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9), ema_decay=0.9)
+    for _ in range(3):
+        tr.step(X, one_hot)
+    p = str(tmp_path / "ck_ema")
+    save_checkpoint(p, net, tr)
+
+    net2 = small_net(seed=74)
+    tr2 = Trainer(net2, SGDMomentum(net2, 0.05, 0.9), ema_decay=0.9)
+    load_checkpoint(p, net2, tr2)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.ema_params()),
+                    jax.tree_util.tree_leaves(tr2.ema_params())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an ema-less checkpoint still restores into an ema trainer (graceful)
+    net3 = small_net(seed=75)
+    tr3 = Trainer(net3, SGDMomentum(net3, 0.05, 0.9))
+    tr3.step(X, one_hot)
+    p2 = str(tmp_path / "ck_plain")
+    save_checkpoint(p2, net3, tr3)
+    net4 = small_net(seed=76)
+    tr4 = Trainer(net4, SGDMomentum(net4, 0.05, 0.9), ema_decay=0.9)
+    load_checkpoint(p2, net4, tr4)  # must not raise
+    assert tr4._cache is not None
