@@ -127,7 +127,14 @@ class Layer:
         # policy flip (compute dtype / pallas / precision) reuses stale traces
         key = key + self._trace_signature() + trace_signature()
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn)
+            # fresh closure per cache entry: jax.jit's GLOBAL trace cache is
+            # keyed by the wrapped callable, so jitting a shared module-level
+            # fn (e.g. softmax_probs) twice under different keys would
+            # silently resolve to one trace (CLAUDE.md jit rule)
+            def _fresh(*a, _fn=fn):
+                return _fn(*a)
+
+            self._jit_cache[key] = jax.jit(_fresh)
         return self._jit_cache[key]
 
     def forward(self, X, *args, test_mode=False, **kwargs):

@@ -36,6 +36,9 @@ class BatchNormLayer(Layer):
         self.run_momentum = run_momentum
         if self.input_dimension not in {2, 4}:
             raise ValueError("BatchNorm input_dimension should have length 2 or 4...")
+        # av_axis is reference-carryover (layers/batch_norm.py:34) kept for
+        # attr parity only — the jitted compute derives axes from x.ndim in
+        # ops/norm.py and never reads it
         self.av_axis = (0, 2, 3) if self.input_dimension == 4 else 0
         self.incoming_chans = incoming_chans
         if incoming_chans is not None:
@@ -132,6 +135,9 @@ class BatchNormLayer(Layer):
             h5io.save_array(open_f, self.layer_name + "/grads/beta", self.grads["beta"])
 
     def load_from_h5(self, open_f, load_grads=True):
+        # loading can change trace-time statics (stride/padding/
+        # eps/...) that are NOT part of the jit key — drop stale traces
+        self._jit_cache = {}
         info = open_f[self.layer_name + "/layer_info"].attrs
         self.eps = float(info["eps"])
         self.incoming_chans = int(info["incoming_chans"])

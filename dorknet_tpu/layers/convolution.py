@@ -70,6 +70,9 @@ class ConvLayer(Layer):
                                  self.with_bias, save_grads=save_grads)
 
     def load_from_h5(self, open_f, load_grads=True):
+        # loading can change trace-time statics (stride/padding/
+        # eps/...) that are NOT part of the jit key — drop stale traces
+        self._jit_cache = {}
         info = open_f[self.layer_name + "/layer_info"].attrs
         self.num_filters = int(info["num_filters"])
         self.filter_chans = int(info["filter_chans"])
@@ -78,11 +81,6 @@ class ConvLayer(Layer):
         self.f_cols = int(info["f_cols"])
         self.stride = int(info["stride"])
         self.padding = int(info["padding"])
-        self.weight_regulariser = h5io.load_regulariser(open_f[self.layer_name + "/weights"])
-        self.learned_params["weights"] = jnp.asarray(open_f[self.layer_name + "/weights"][:])
-        if self.with_bias:
-            self.learned_params["bias"] = jnp.asarray(open_f[self.layer_name + "/bias"][:])
-        if load_grads:
-            self.grads["weights"] = jnp.asarray(open_f[self.layer_name + "/grads/weights"][:])
-            if self.with_bias:
-                self.grads["bias"] = jnp.asarray(open_f[self.layer_name + "/grads/bias"][:])
+        self.weight_regulariser = h5io.load_param_datasets(
+            open_f, self.layer_name, self.learned_params, self.grads,
+            self.with_bias, load_grads=load_grads)

@@ -33,6 +33,9 @@ class GlobalAveragePoolingLayer(Layer):
         h5io.create_layer_info(open_f, self.layer_name, "GlobalAveragePoolingLayer")
 
     def load_from_h5(self, open_f, load_grads=True):
+        # loading can change trace-time statics (stride/padding/
+        # eps/...) that are NOT part of the jit key — drop stale traces
+        self._jit_cache = {}
         pass
 
 
@@ -54,4 +57,7 @@ class MaxPoolLayer(Layer):
                                stride=self.stride)
 
     def load_from_h5(self, open_f, load_grads=True):
+        # loading can change trace-time statics (stride/padding/
+        # eps/...) that are NOT part of the jit key — drop stale traces
+        self._jit_cache = {}
         self.stride = int(open_f[self.layer_name + "/layer_info"].attrs["stride"])

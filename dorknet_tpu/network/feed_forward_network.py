@@ -176,6 +176,7 @@ class FeedForwardNetwork:
             return 0, fn(params, states, X)
 
         if test_mode:
+            self._require_bn_initialized("test-mode forward")
             fn = self._jit_for(("test",), self._test_fn)
             return 0, fn(params, states, X)
 
@@ -209,9 +210,23 @@ class FeedForwardNetwork:
             l.set_grads(g)
         self._pending_grads = None
 
+    def _require_bn_initialized(self, what):
+        """Inference normalises by the RUNNING stats; before the first
+        training batch those are zeros placeholders and the divide emits
+        Inf/NaN silently (the reference crashes on the None arithmetic
+        instead) — fail loudly at the host boundary."""
+        bad = [l.layer_name for l in self.layers if not l.bn_initialized()]
+        if bad:
+            raise ValueError(
+                "{} needs initialised batch-norm running statistics; run a "
+                "training batch or load a checkpoint first (uninitialised: "
+                "{})".format(what, bad))
+
     def test(self, data_loader, batch_size, test_set_size):
         """Accuracy loop (reference :72-88): argmax on device, compare on host."""
         from tqdm import tqdm
+
+        self._require_bn_initialized("test()")
 
         test_correct_total = 0
         params = self.gather_params()

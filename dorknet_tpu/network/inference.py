@@ -23,6 +23,7 @@ class InferenceRunner:
             from dorknet_tpu.utils.fold_bn import fold_batch_norms
 
             network = fold_batch_norms(network)
+        network._require_bn_initialized("InferenceRunner")
         self.network = network
         self.batch_size = int(batch_size)
         self.batch_sharding = batch_sharding

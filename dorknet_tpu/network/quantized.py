@@ -113,6 +113,8 @@ class QuantizedInferenceRunner(InferenceRunner):
     def _build(self):
         from dorknet_tpu.utils.fold_bn import fold_batch_norms
 
+        self._source._require_bn_initialized("QuantizedInferenceRunner")
+
         if self._fold:
             net = fold_batch_norms(self._source)
         else:

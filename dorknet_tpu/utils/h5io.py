@@ -67,3 +67,21 @@ def save_param_datasets(open_f, layer_name, learned_params, grads,
         save_array(open_f, layer_name + "/grads/weights", grads["weights"])
         if with_bias:
             save_array(open_f, layer_name + "/grads/bias", grads["bias"])
+
+
+def load_param_datasets(open_f, layer_name, learned_params, grads, with_bias,
+                        load_grads=True):
+    """Counterpart of save_param_datasets: the common weights/bias/grads load
+    block shared by conv/depthwise/pointwise/dense layers. Returns the
+    regulariser attached to the weights dataset."""
+    import jax.numpy as jnp
+
+    reg = load_regulariser(open_f[layer_name + "/weights"])
+    learned_params["weights"] = jnp.asarray(open_f[layer_name + "/weights"][:])
+    if with_bias:
+        learned_params["bias"] = jnp.asarray(open_f[layer_name + "/bias"][:])
+    if load_grads:
+        grads["weights"] = jnp.asarray(open_f[layer_name + "/grads/weights"][:])
+        if with_bias:
+            grads["bias"] = jnp.asarray(open_f[layer_name + "/grads/bias"][:])
+    return reg
