@@ -38,6 +38,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _init_bn(net, image, classes, batch=8, seed=7):
+    """Adopt batch-norm running statistics from ONE tiny training batch.
+
+    The serving paths (InferenceRunner / QuantizedInferenceRunner / CAM's
+    test-mode forward) normalise by the RUNNING stats; on a freshly-built
+    bench network those are zeros placeholders, which the runners now refuse
+    (VERDICT r2 item 1: the round-2 serving bench raised here, and the
+    pre-guard numbers were measured on garbage activations). One train-mode
+    forward writes real stats — the timed graphs are then numerically live."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(batch, 3, image, image).astype(np.float32)
+    y = np.eye(classes, dtype=np.float32)[rng.randint(0, classes, batch)]
+    net.forward(X, y)
+    net._pending_grads = None
+
+
 def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
                 compute_dtype=None, deadline=None, model="resnet18"):
     import jax.numpy as jnp
@@ -443,7 +459,7 @@ def _device_time_ms(thunk, runs=5):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def bench_cam_p50(runs=20, batch=16):
+def bench_cam_p50(runs=20, batch=16, image=225, classes=120):
     """CAM inference latency: scores + res8 tap + projection for top-3 classes,
     one jitted call (reference CAM flow, SURVEY §3.3). Reports wall p50 AND
     on-device ms (profiler) for B=1, plus the batched path's per-image cost —
@@ -452,9 +468,11 @@ def bench_cam_p50(runs=20, batch=16):
     from dorknet_tpu.cam import compute_cam_scores, compute_cam_scores_batch
 
     np.random.seed(0)
-    net = ResNet18("cam-bench")
-    X = jax.device_put(np.random.randn(1, 3, 225, 225).astype(np.float32))
-    Xb = jax.device_put(np.random.randn(batch, 3, 225, 225).astype(np.float32))
+    net = ResNet18("cam-bench", num_classes=classes)
+    _init_bn(net, image, classes)  # the CAM program's test-mode branch
+    # reads the running stats
+    X = jax.device_put(np.random.randn(1, 3, image, image).astype(np.float32))
+    Xb = jax.device_put(np.random.randn(batch, 3, image, image).astype(np.float32))
 
     scores, cams = compute_cam_scores(net, X, top_k=3)
     np.asarray(cams)  # compile + sync
@@ -498,6 +516,8 @@ def bench_inference(batch=256, runs=6, image=225, classes=120):
     dorknet_tpu.set_compute_dtype(jnp.bfloat16)
     try:
         net = ResNet18("bench-infer", num_classes=classes)
+        _init_bn(net, image, classes)  # runners refuse zero-placeholder
+        # running stats (and would time garbage activations — VERDICT r2)
         Xh = np.random.randn(batch, 3, image, image).astype(np.float32)
         X = jax.device_put(Xh)
         X1 = jax.device_put(Xh[:1])
@@ -546,11 +566,70 @@ def bench_inference(batch=256, runs=6, image=225, classes=120):
     return ips, q_ips, p50, dev_ms, dev_b
 
 
+def bench_pallas_check(B=4, H=14, C=128):
+    """On-chip correctness of the fused Pallas depthwise kernels vs the XLA
+    grouped-conv oracle: forward, dx and dw for stride 1 AND 2, fp32 and the
+    bf16 production policy (VERDICT r2 item 6 — this was previously only a
+    hand-run of scripts/bench_pallas_depthwise.py). Returns (ok, max_err).
+    On a CPU backend the kernels run in interpreter mode (same check the
+    test suite does); on the TPU this validates the Mosaic lowering itself."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    import dorknet_tpu.ops.pallas.depthwise as pdw
+    from dorknet_tpu.ops.conv import depthwise_conv2d
+
+    prev_interp = pdw._INTERPRET
+    if jax.default_backend() == "cpu":
+        pdw._INTERPRET = True
+    rng = np.random.RandomState(0)
+    max_err, ok = 0.0, True
+    try:
+        for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
+            dorknet_tpu.set_compute_dtype(dtype)
+            for stride in (1, 2):
+                x = jnp.asarray(rng.randn(B, H, H, C), jnp.float32).astype(dtype)
+                w = jnp.asarray(rng.randn(C, 3, 3), jnp.float32)
+
+                def loss(fn, x_, w_):
+                    return jnp.sum(fn(x_, w_).astype(jnp.float32) ** 2)
+
+                pf = jax.jit(lambda x_, w_, s=stride: pdw.depthwise3x3(x_, w_, s))
+                xf = jax.jit(lambda x_, w_, s=stride: depthwise_conv2d(
+                    x_, w_, None, s, 1))
+                pg = jax.jit(jax.grad(lambda x_, w_: loss(pf, x_, w_),
+                                      argnums=(0, 1)))
+                xg = jax.jit(jax.grad(lambda x_, w_: loss(xf, x_, w_),
+                                      argnums=(0, 1)))
+                pairs = [("fwd", np.asarray(pf(x, w), np.float32),
+                          np.asarray(xf(x, w), np.float32))]
+                (pdx, pdwt), (xdx, xdwt) = pg(x, w), xg(x, w)
+                pairs.append(("dx", np.asarray(pdx, np.float32),
+                              np.asarray(xdx, np.float32)))
+                pairs.append(("dw", np.asarray(pdwt, np.float32),
+                              np.asarray(xdwt, np.float32)))
+                for name, got, want in pairs:
+                    scale = max(1.0, float(np.abs(want).max()))
+                    err = float(np.abs(got - want).max()) / scale
+                    max_err = max(max_err, err)
+                    if err > tol or not np.isfinite(got).all():
+                        ok = False
+                        log(f"  pallas {name} s{stride} {np.dtype(dtype).name}"
+                            f" MISMATCH: rel err {err:.2e} > {tol}")
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+        pdw._INTERPRET = prev_interp
+    log(f"pallas depthwise check: {'OK' if ok else 'FAILED'} "
+        f"(max rel err {max_err:.2e}, backend {jax.default_backend()})")
+    return ok, max_err
+
+
 def main():
     import os
     import jax.numpy as jnp
 
-    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    t0 = time.monotonic()
+    deadline = t0 + budget
     results = {}
     best = 0.0
     best_basis = "wall"  # "device" when the headline came from profiler time
@@ -563,29 +642,67 @@ def main():
     def time_left():
         return deadline - time.monotonic()
 
+    # SECTION ORDER (VERDICT r2 item 3): headline first but CAPPED at 35% of
+    # the budget, then the round-mandated pallas_ok / serving / stretch
+    # sections, then the secondary pipeline metrics. BENCH_r01 and BENCH_r02
+    # both ran out of budget before serving+stretch; the cap plus this order
+    # guarantees them a slice even through a degraded tunnel window.
+
     # PRIMARY: contention-fair fp32/bf16 interleaved (captures both configs;
     # bf16 is the recommended training configuration at ~1.8x fp32)
     try:
-        il = bench_interleaved_fp32_bf16(deadline=deadline - 30)
+        il = bench_interleaved_fp32_bf16(
+            deadline=min(deadline - 30, t0 + 0.35 * budget))
         for k, v in il.items():
             results[f"train_ips_b256_{k}_interleaved"] = v
             consider(v, "device" if k.endswith("_device") else "wall")
     except Exception as e:
         log(f"interleaved fp32/bf16 failed: {e}")
-    if time_left() > 120:
+
+    # Pallas on-chip correctness (cheap, small compiles) — keeps the fused
+    # depthwise kernels honest as JAX/Mosaic versions move
+    try:
+        ok, err = bench_pallas_check()
+        results["pallas_ok"] = bool(ok)
+        results["pallas_max_rel_err"] = float(f"{err:.3g}")
+    except Exception as e:
+        log(f"pallas check failed: {e}")
+        results["pallas_ok"] = False
+
+    # Serving ladder (BN initialised — _init_bn): bf16 fold_bn + int8
+    if time_left() > 60:
         try:
-            ips, dev_ips = bench_train(256, steps=8, trials=2,
-                                       deadline=deadline - 30)
-            results["train_ips_b256_fp32"] = round(ips, 1)
-            consider(ips, "wall")
-            if dev_ips:
-                results["train_ips_b256_fp32_device"] = round(dev_ips, 1)
-                consider(dev_ips, "device")
+            ips, q_ips, p50, dev_ms, dev_b = bench_inference()
+            results["infer_ips_b256_foldbn_bf16"] = round(ips, 1)
+            results["infer_ips_b256_int8"] = round(q_ips, 1)
+            results["infer_b1_p50_ms"] = round(p50, 2)
+            if dev_ms:
+                results["infer_b1_device_ms"] = round(dev_ms, 2)
+            for k, v in dev_b.items():
+                results[f"infer_device_ips_b256_{k}"] = round(v, 1)
         except Exception as e:
-            log(f"b256 fp32 failed: {e}")
+            log(f"inference bench failed: {e}")
     else:
-        log("skipping standalone fp32 config (time budget)")
-    if time_left() > 180:
+        log("skipping inference config (time budget)")
+
+    # stretch zoo (224px, b128, bf16 production policy; fp32 numbers are in
+    # PERF.md — not the headline metric). Short trials: the point is a
+    # driver-artifact number, PERF.md holds the long-form captures.
+    for m in ("mobilenet_v2", "resnet50"):
+        if time_left() > 60:
+            try:
+                ips, dev_ips = bench_train(128, steps=5, trials=1, image=224,
+                                           classes=1000, deadline=deadline - 20,
+                                           model=m, compute_dtype=jnp.bfloat16)
+                results[f"train_ips_{m}_b128_bf16"] = round(ips, 1)
+                if dev_ips:
+                    results[f"train_ips_{m}_b128_bf16_device"] = round(dev_ips, 1)
+            except Exception as e:
+                log(f"{m} failed: {e}")
+        else:
+            log(f"skipping {m} (time budget)")
+
+    if time_left() > 120:
         try:
             ips, dev_ips = bench_train_multistep(256, k=4)
             results["train_ips_b256_multistep_bf16"] = round(ips, 1)
@@ -608,8 +725,7 @@ def main():
             log(f"CAM bench failed: {e}")
     else:
         log("skipping CAM config (time budget)")
-    # input-pipeline metrics (VERDICT r1 item 3) — before the stretch zoo so
-    # they survive the budget
+    # input-pipeline metrics (VERDICT r1 item 3)
     if time_left() > 120:
         try:
             aug_ips, tr_ips = bench_aug_vs_train_interleaved()
@@ -635,40 +751,10 @@ def main():
             log(f"aug bench failed: {e}")
     else:
         log("skipping aug config (time budget)")
-    # serving path (after the VERDICT-mandated pipeline metrics, before the
-    # stretch zoo)
-    if time_left() > 90:
-        try:
-            ips, q_ips, p50, dev_ms, dev_b = bench_inference()
-            results["infer_ips_b256_foldbn_bf16"] = round(ips, 1)
-            results["infer_ips_b256_int8"] = round(q_ips, 1)
-            results["infer_b1_p50_ms"] = round(p50, 2)
-            if dev_ms:
-                results["infer_b1_device_ms"] = round(dev_ms, 2)
-            for k, v in dev_b.items():
-                results[f"infer_device_ips_b256_{k}"] = round(v, 1)
-        except Exception as e:
-            log(f"inference bench failed: {e}")
-    else:
-        log("skipping inference config (time budget)")
-    # stretch zoo (224px, b128, bf16 production policy; fp32 numbers are in
-    # PERF.md — not the headline metric)
-    for m in ("mobilenet_v2", "resnet50"):
-        if time_left() > 150:
-            try:
-                ips, dev_ips = bench_train(128, steps=6, trials=1, image=224,
-                                           classes=1000, deadline=deadline - 30,
-                                           model=m, compute_dtype=jnp.bfloat16)
-                results[f"train_ips_{m}_b128_bf16"] = round(ips, 1)
-                if dev_ips:
-                    results[f"train_ips_{m}_b128_bf16_device"] = round(dev_ips, 1)
-            except Exception as e:
-                log(f"{m} failed: {e}")
-        else:
-            log(f"skipping {m} (time budget)")
 
     # the tunnel's health fluctuates within a run — re-measure the primary
-    # config at the end and keep the best observation
+    # config at the end and keep the best observation (this also covers the
+    # standalone-fp32 key the interleaved section may have missed)
     if time_left() > 60:
         try:
             ips, dev_ips = bench_train(256, steps=8, trials=1,

@@ -17,6 +17,8 @@ Layouts: activations NHWC, weights kept in the reference's layouts and transpose
 at trace time (a transpose of a small weight tensor per step, fused by XLA).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -76,15 +78,78 @@ def conv2d(x, w_oihw, b=None, stride=1, padding=0):
     return y
 
 
+def _depthwise_grouped(x, w_cfhfw, stride, padding):
+    """The grouped-conv primal: (N,H,W,C) x (C,fh,fw) -> (N,P,Q,C)."""
+    C = w_cfhfw.shape[0]
+    w = jnp.transpose(w_cfhfw, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C) HWIO
+    return _cast_out(lax.conv_general_dilated(
+        _cast_in(x),
+        _cast_in(w),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        preferred_element_type=_pet(),
+        precision=get_matmul_precision(),
+    ))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _depthwise_core(x, w_cfhfw, stride, padding):
+    return _depthwise_grouped(x, w_cfhfw, stride, padding)
+
+
+def _depthwise_core_fwd(x, w_cfhfw, stride, padding):
+    return (_depthwise_grouped(x, w_cfhfw, stride, padding), (x, w_cfhfw))
+
+
+def _depthwise_core_bwd(stride, padding, res, dy):
+    """dx via XLA's transpose conv (its input-grad partitioning is sound);
+    dw as an EXPLICIT per-tap multiply-reduce — the reference's fused
+    ``depthwise_backward_direct_cy`` formulation (layers/im2col.pyx:143-178).
+
+    The explicit dw is not (only) style: XLA SPMD mis-partitions the grouped
+    conv's WEIGHT gradient under mixed batch/parameter shardings — measured
+    exactly 2x / 0.5x (a wrong mesh-axis factor) on jax 0.9.0's 8-device CPU
+    mesh, surfacing as FSDP training silently diverging from the
+    single-device step (caught by __graft_entry__.dryrun_multichip's
+    equality gate). A plain elementwise product + reduction is partitioned
+    correctly (batch reduce -> psum), on any mesh."""
+    x, w_cfhfw = res
+    C, fh, fw = w_cfhfw.shape
+
+    _, x_pullback = jax.vjp(
+        lambda xx: _depthwise_grouped(xx, w_cfhfw, stride, padding), x)
+    dx = x_pullback(dy)[0]
+
+    Ho, Wo = dy.shape[1], dy.shape[2]
+    xf = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
+                     (0, 0))).astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    taps = []
+    for di in range(fh):
+        for dj in range(fw):
+            sl = xf[:, di:di + stride * (Ho - 1) + 1:stride,
+                    dj:dj + stride * (Wo - 1) + 1:stride, :]
+            taps.append(jnp.sum(sl * dyf, axis=(0, 1, 2)))  # (C,)
+    dw = jnp.stack(taps, axis=0).reshape(fh, fw, C).transpose(2, 0, 1)
+    return dx, dw.astype(w_cfhfw.dtype)
+
+
+_depthwise_core.defvjp(_depthwise_core_fwd, _depthwise_core_bwd)
+
+
 def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     """Depthwise conv. x: (N,H,W,C); w: (C,fh,fw) (reference layout).
 
     Lowered via ``feature_group_count=C`` — one MXU-friendly grouped conv instead
     of the reference's per-(batch,channel) scalar loops
-    (reference: layers/im2col.pyx:109-139). With ``config.set_use_pallas(True)``
-    the 3x3 stride-1/2 cases (all the flagship's depthwise layers, fp32 or
-    bf16) run the fused Pallas kernel (ops/pallas/depthwise.py) with its fused
-    custom VJP instead.
+    (reference: layers/im2col.pyx:109-139) — with a custom VJP whose weight
+    gradient is the explicit nine-tap reduction (see _depthwise_core_bwd for
+    why that is a correctness requirement under SPMD, not a preference).
+    With ``config.set_use_pallas(True)`` the 3x3 stride-1/2 cases (all the
+    flagship's depthwise layers, fp32 or bf16) run the fused Pallas kernel
+    (ops/pallas/depthwise.py) with its fused custom VJP instead.
     """
     from dorknet_tpu.config import use_pallas
 
@@ -105,18 +170,7 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
         if b is not None:
             y = _bias_add(y, b, (1, 1, 1, -1))
         return y
-    w = jnp.transpose(w_cfhfw, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C) HWIO, groups=C
-    y = lax.conv_general_dilated(
-        _cast_in(x),
-        _cast_in(w),
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
-        preferred_element_type=_pet(),
-        precision=get_matmul_precision(),
-    )
-    y = _cast_out(y)
+    y = _depthwise_core(x, w_cfhfw, stride, padding)
     if b is not None:
         y = _bias_add(y, b, (1, 1, 1, -1))
     return y

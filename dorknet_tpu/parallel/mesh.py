@@ -127,11 +127,21 @@ def fsdp_param_shardings(network, mesh, axis="data", min_elems=2048):
 
     Composes with ``batch_sharding`` on the same mesh (DP+FSDP) and with a
     second ``model`` axis (TP): pass the respective helper's output per
-    concern. Pass the result as ``Trainer(param_sharding=...)``."""
+    concern. Pass the result as ``Trainer(param_sharding=...)``.
+
+    Depthwise filters — rank-3 ``(C, fh, fw)`` in the reference layout — are
+    ALWAYS replicated. XLA SPMD mis-partitions the grouped conv's WEIGHT
+    gradient under mixed batch/parameter shardings (verified exactly 2x/0.5x
+    wrong on jax 0.9.0's 8-device CPU mesh; caught by the dryrun's
+    single-device-equality gate). The root fix is the explicit-reduction dw
+    rule in ops/conv.py:_depthwise_core_bwd; keeping these filters
+    replicated is defence-in-depth that costs nothing — C*9 floats is 18 KB
+    at C=512, vs megabytes for the pointwise/dense matrices that carry the
+    actual FSDP savings."""
     axis_size = mesh.shape[axis]
 
     def spec_for(arr):
-        if arr.size < min_elems:
+        if arr.size < min_elems or arr.ndim == 3:
             return NamedSharding(mesh, P())
         dims = sorted(range(arr.ndim), key=lambda d: -arr.shape[d])
         for d in dims:

@@ -32,11 +32,21 @@ from dorknet_tpu.data_loading import (
     ImageDataLoader, ImageAugmenter, ImagePreprocessor, device_prefetch,
 )
 
-BATCH_SIZE = 60
+# Script-level constants in the reference's style (its examples ARE its config
+# system, SURVEY §5); each reads an env override with the reference value as
+# default so CI can execute this exact __main__ body against a synthetic
+# dataset tree (tests/test_dogs_example_scripts.py) — set DORKNET_DATA plus
+# the DORKNET_* knobs below for a tiny run.
+BATCH_SIZE = int(os.environ.get("DORKNET_BATCH", "60"))
 DOCKER = False
 data_folder = "/Datasets" if DOCKER else os.environ.get(
     "DORKNET_DATA", os.path.expanduser("~/Datasets"))
-ON_DEVICE_AUGMENT = False
+ON_DEVICE_AUGMENT = os.environ.get("DORKNET_ON_DEVICE_AUGMENT", "0") == "1"
+IMAGE_SIZE = int(os.environ.get("DORKNET_IMAGE", "225"))
+EPOCHS = int(os.environ.get("DORKNET_EPOCHS", "40"))          # exclusive bound
+TRAIN_SET_SIZE = int(os.environ.get("DORKNET_TRAIN_SIZE", "150473"))
+VAL_SET_SIZE = int(os.environ.get("DORKNET_VAL_SIZE", str(120 * 50)))
+NUM_WORKERS = int(os.environ.get("DORKNET_WORKERS", "8"))
 
 AUG_CFG = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
                rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5)
@@ -54,31 +64,36 @@ if __name__ == "__main__":
     if ON_DEVICE_AUGMENT:
         # host: decode + precrop-resize only; crop/HSV/rot/flip/mixup run as
         # one jitted program on the TPU (device_augment.train_pipeline)
-        train_preprocessor = ImagePreprocessor(image_size=(225, 225),
+        train_preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
                                                crop_mode="random")
         train_data_loader = ImageDataLoader(
             os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
             BATCH_SIZE, train_preprocessor, class_balance=False,
-            num_workers=8, emit_hwc_uint8=True)
+            num_workers=NUM_WORKERS, emit_hwc_uint8=True)
     else:
         augmenter = ImageAugmenter(rotation_tuple=AUG_CFG["rotation_tuple"],
                                    hsv_pert_tuples=list(AUG_CFG["hsv_pert_tuples"]),
                                    horizontal_flip_prob=AUG_CFG["horizontal_flip_prob"])
-        train_preprocessor = ImagePreprocessor(image_size=(225, 225),
+        train_preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
                                                crop_mode="random",
                                                image_augmenter=augmenter)
         train_data_loader = ImageDataLoader(
             os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"),
             BATCH_SIZE, train_preprocessor, class_balance=False,
-            mixup_range_tuple=(0, 0.3), num_workers=8)
-    val_preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
+            mixup_range_tuple=(0, 0.3), num_workers=NUM_WORKERS)
+    val_preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
+                                         crop_mode="center")
     val_data_loader = ImageDataLoader(
         os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/val_img"),
-        BATCH_SIZE, val_preprocessor, num_workers=8)
+        BATCH_SIZE, val_preprocessor, num_workers=NUM_WORKERS)
 
-    restart = False
-    starting_epoch = 1
-    experiment_name = "DogsImageNet225ResNet18DepSep"
+    # restart flow (reference :184-199): DORKNET_RESTART_CKPT names a saved
+    # epoch h5 to resume from; DORKNET_START_EPOCH sets the resume epoch
+    restart_ckpt = os.environ.get("DORKNET_RESTART_CKPT", "")
+    restart = bool(restart_ckpt)
+    starting_epoch = int(os.environ.get("DORKNET_START_EPOCH", "1"))
+    experiment_name = os.environ.get("DORKNET_EXPERIMENT",
+                                     "DogsImageNet225ResNet18DepSep")
     os.makedirs("logging", exist_ok=True)
     logging.basicConfig(filename="logging/" + experiment_name + ".log",
                         level=logging.DEBUG)
@@ -90,12 +105,12 @@ if __name__ == "__main__":
         os.path.join(experiment_name, experiment_name + ".json"))
 
     if restart:
-        # Restarting from a previous save point (path is an example) — set the
-        # right starting epoch.
+        # Restarting from a previous save point (the reference hardcodes
+        # "epoch_15_testacc_0.4935.h5" here) — set the right starting epoch.
         network = ResNet18("", load_layers=False)
         network.load_network_from_json_and_h5(
             os.path.join(experiment_name, experiment_name + ".json"),
-            os.path.join(experiment_name, "epoch_15_testacc_0.4935.h5"))
+            os.path.join(experiment_name, restart_ckpt))
     print(network)
     network.to_gpu()
     if os.environ.get("DORKNET_BF16", "0") == "1":
@@ -116,7 +131,7 @@ if __name__ == "__main__":
     logging.info(network)
 
     try:
-        for e in range(starting_epoch, 40, 1):
+        for e in range(starting_epoch, EPOCHS, 1):
             running_loss_average = None
             logging.info("Epoch {}:".format(e))
             logging.info("Shuffling data: ")
@@ -125,10 +140,11 @@ if __name__ == "__main__":
             if e == 16 or e == 20 or e == 25:
                 logging.info("Multiplying learning rate by 0.5")
                 sgd.multiply_learning_rate(0.5)
-            # one epoch = ~150,473 trained images on both paths: the host
-            # loader's mixup emits 2 batches per pull already; the device
+            # one epoch = ~TRAIN_SET_SIZE trained images on both paths: the
+            # host loader's mixup emits 2 batches per pull already; the device
             # path trains 2B per pull, so it needs half the pulls
-            steps = int(150473 / BATCH_SIZE / (2 if ON_DEVICE_AUGMENT else 1))
+            steps = max(1, int(TRAIN_SET_SIZE / BATCH_SIZE /
+                               (2 if ON_DEVICE_AUGMENT else 1)))
             batches = device_prefetch(train_data_loader.pull_batch(steps))
             aug_key = jax.random.PRNGKey(e)
             for i, (X_batch, y_batch, y_one_hot) in enumerate(
@@ -141,7 +157,7 @@ if __name__ == "__main__":
                     # stage then runs at 1 byte/pixel (train_pipeline
                     # docstring) — no fp32 cast
                     X_batch, y_one_hot = train_pipeline(
-                        k, X_batch, y_one_hot, (225, 225),
+                        k, X_batch, y_one_hot, (IMAGE_SIZE, IMAGE_SIZE),
                         crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
                 loss, preds = trainer.step(X_batch, y_one_hot)
                 loss = float(loss)
@@ -162,7 +178,8 @@ if __name__ == "__main__":
                             correct_total / (i * BATCH_SIZE)))
             logging.info("Testing...")
             test_acc = network.test(val_data_loader.pull_batch(
-                int(120 * 50 / BATCH_SIZE)), BATCH_SIZE, 120 * 50)
+                max(1, int(VAL_SET_SIZE / BATCH_SIZE))), BATCH_SIZE,
+                VAL_SET_SIZE)
             logging.info("Test acc: {}".format(test_acc))
             network.save_weights_to_h5(os.path.join(
                 experiment_name, "epoch_{}_testacc_{}.h5".format(e, test_acc)))

@@ -21,11 +21,15 @@ from dorknet_tpu.cam import compute_cam_scores
 from dorknet_tpu.data_loading import ImagePreprocessor
 from dorknet_tpu.models import ResNet18
 
-EXPERIMENT = "DogsImageNet225ResNet18DepSep"
-CHECKPOINT = "epoch_26_testacc_0.686.h5"
-CLASS_MAP = "./imagenet_dog_class_names/num_to_dog_name_map.json"
-IMAGE_DIR = "./dog_images"
-OUT_ROOT = "CAM_outputs"
+# Reference constants, env-overridable so CI can run this exact __main__
+# body against a synthetic checkpoint (tests/test_dogs_example_scripts.py)
+EXPERIMENT = os.environ.get("DORKNET_EXPERIMENT", "DogsImageNet225ResNet18DepSep")
+CHECKPOINT = os.environ.get("DORKNET_CHECKPOINT", "epoch_26_testacc_0.686.h5")
+CLASS_MAP = os.environ.get("DORKNET_CLASS_MAP",
+                           "./imagenet_dog_class_names/num_to_dog_name_map.json")
+IMAGE_DIR = os.environ.get("DORKNET_IMAGE_DIR", "./dog_images")
+OUT_ROOT = os.environ.get("DORKNET_CAM_OUT", "CAM_outputs")
+IMAGE_SIZE = int(os.environ.get("DORKNET_IMAGE", "225"))
 
 
 def overlay_heatmap(bgr_image, cam01):
@@ -38,9 +42,11 @@ def overlay_heatmap(bgr_image, cam01):
 def run_one(net, preprocessor, class_names, image_path, out_dir):
     chw = preprocessor.load_image(image_path)
     scores, cams = compute_cam_scores(net, chw[None], top_k=3,
-                                      terminal_layer_name="res8")
+                                      terminal_layer_name="res8",
+                                      out_size=IMAGE_SIZE)
     ranked = np.argsort(np.asarray(scores))[::-1][:3]
-    original = cv2.resize(chw.transpose(1, 2, 0) + 128.0, (225, 225))
+    original = cv2.resize(chw.transpose(1, 2, 0) + 128.0,
+                          (IMAGE_SIZE, IMAGE_SIZE))
     os.makedirs(out_dir, exist_ok=True)
     for rank, (cls, cam) in enumerate(zip(ranked, np.asarray(cams))):
         name = class_names[str(cls)]
@@ -51,7 +57,8 @@ def run_one(net, preprocessor, class_names, image_path, out_dir):
 if __name__ == "__main__":
     with open(CLASS_MAP) as f:
         class_names = json.load(f)
-    preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
+    preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
+                                     crop_mode="center")
     net = ResNet18("", load_layers=False)
     net.load_network_from_json_and_h5(
         os.path.join(EXPERIMENT, EXPERIMENT + ".json"),

@@ -23,8 +23,15 @@ import numpy as np
 from dorknet_tpu.data_loading import ImageDataLoader, ImagePreprocessor
 from dorknet_tpu.models import ResNet18
 
-EXPERIMENT = "DogsImageNet225ResNet18DepSep"
-CLASS_MAP = "./imagenet_dog_class_names/num_to_dog_name_map.json"
+# Reference constants, env-overridable so CI can run this exact __main__
+# body against a synthetic checkpoint (tests/test_dogs_example_scripts.py)
+EXPERIMENT = os.environ.get("DORKNET_EXPERIMENT", "DogsImageNet225ResNet18DepSep")
+CLASS_MAP = os.environ.get("DORKNET_CLASS_MAP",
+                           "./imagenet_dog_class_names/num_to_dog_name_map.json")
+IMAGE_SIZE = int(os.environ.get("DORKNET_IMAGE", "225"))
+BATCH_SIZE = int(os.environ.get("DORKNET_BATCH", "60"))
+VAL_SET_SIZE = int(os.environ.get("DORKNET_VAL_SIZE", str(120 * 50)))
+IMAGE_DIR = os.environ.get("DORKNET_IMAGE_DIR", "./dog_images")
 
 
 def load_trained_network(checkpoint):
@@ -35,13 +42,13 @@ def load_trained_network(checkpoint):
     return net
 
 
-def check_val_accuracy(net, preprocessor, batch_size=60, runner=None):
+def check_val_accuracy(net, preprocessor, batch_size=BATCH_SIZE, runner=None):
     data_root = os.environ.get("DORKNET_DATA", os.path.expanduser("~/Datasets"))
     loader = ImageDataLoader(
         os.path.join(data_root, "ImageNet2012/ILSVRC2012_dogs/val_img"),
         batch_size, preprocessor, start_thread=True)
     try:
-        n_val = 120 * 50
+        n_val = VAL_SET_SIZE
         if runner is not None:
             correct = 0
             for probs, y, _ in runner.predict_iter(
@@ -57,7 +64,7 @@ def check_val_accuracy(net, preprocessor, batch_size=60, runner=None):
         loader.stop_thread()
 
 
-def annotate_images(net, preprocessor, class_names, im_dir="./dog_images",
+def annotate_images(net, preprocessor, class_names, im_dir=IMAGE_DIR,
                     runner=None):
     out_dir = os.path.join(im_dir, "outputs")
     os.makedirs(out_dir, exist_ok=True)
@@ -88,20 +95,22 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--verify", action="store_true",
                     help="measure val-set accuracy (needs the dataset)")
-    ap.add_argument("--checkpoint", default="epoch_26_testacc_0.686.h5")
+    ap.add_argument("--checkpoint", default=os.environ.get(
+        "DORKNET_CHECKPOINT", "epoch_26_testacc_0.686.h5"))
     ap.add_argument("--int8", action="store_true",
                     help="serve through the int8 QuantizedInferenceRunner")
     args = ap.parse_args()
 
     with open(CLASS_MAP) as f:
         class_names = json.load(f)
-    preprocessor = ImagePreprocessor(image_size=(225, 225), crop_mode="center")
+    preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
+                                     crop_mode="center")
     network = load_trained_network(args.checkpoint)
     runner = None
     if args.int8:
         from dorknet_tpu.network import QuantizedInferenceRunner
 
-        runner = QuantizedInferenceRunner(network, batch_size=60)
+        runner = QuantizedInferenceRunner(network, batch_size=BATCH_SIZE)
     if args.verify:
         check_val_accuracy(network, preprocessor, runner=runner)
     annotate_images(network, preprocessor, class_names, runner=runner)

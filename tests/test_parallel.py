@@ -216,3 +216,54 @@ def test_fsdp_ema_shadow_inherits_sharding():
     assert len(ema_leaf.sharding.device_set) == 8
     shard = ema_leaf.addressable_shards[0].data.shape
     assert shard[0] == ema_leaf.shape[0] // 8, (shard, ema_leaf.shape)
+
+
+def test_fsdp_depthwise_grad_matches_single_device():
+    """Regression for the XLA-SPMD grouped-conv weight-grad bug (jax 0.9.0):
+    under mixed batch/param shardings on a 2-axis mesh, the depthwise dw came
+    out scaled by a wrong mesh-axis factor (exactly 2x/0.5x). The explicit
+    nine-tap dw rule (ops/conv.py:_depthwise_core_bwd) must keep FSDP
+    post-step PARAMS — not just losses — equal to the single-device step."""
+    from dorknet_tpu.layers import DepthwiseConvLayer, PointwiseConvLayer
+    from dorknet_tpu.parallel import fsdp_param_shardings
+
+    def build_dw(seed):
+        np.random.seed(seed)
+        net = FeedForwardNetwork("par-dw")
+        net.add_layer(ConvLayer("c1", filter_block_shape=(16, 3, 3, 3),
+                                with_bias=False, weight_regulariser=l2(1e-4)))
+        net.add_layer(BatchNormLayer("bn1", incoming_chans=16))
+        net.add_layer(ReLu("r1"))
+        net.add_layer(DepthwiseConvLayer("dw1", filter_block_shape=(16, 3, 3),
+                                         with_bias=False))
+        net.add_layer(BatchNormLayer("bn2", incoming_chans=16))
+        net.add_layer(ReLu("r2"))
+        net.add_layer(PointwiseConvLayer("pw1", filter_block_shape=(16, 16),
+                                         with_bias=False))
+        net.add_layer(GlobalAveragePoolingLayer("gap"))
+        net.add_layer(DenseLayer("d1", incoming_chans=16, output_dim=8))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+        return net
+
+    X, y = batch(16)
+    net_a = build_dw(21)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    # 2-axis mesh (the bug needed the second axis to mis-scale against)
+    mesh = make_mesh({"data": 4, "model": 2})
+    net_b = build_dw(21)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh, "data"),
+                   param_sharding=fsdp_param_shardings(net_b, mesh,
+                                                       axis="data",
+                                                       min_elems=64))
+    for _ in range(2):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    for pa, pb in zip(net_a.gather_params(), net_b.gather_params()):
+        for xa, xb in zip(jax.tree_util.tree_leaves(pa),
+                          jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=5e-3, atol=5e-4)
