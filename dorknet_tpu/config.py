@@ -52,10 +52,45 @@ def use_pallas() -> bool:
     return _USE_PALLAS
 
 
+_SPMD_SAFE_GRADS = False
+
+
+class spmd_safe_grads:
+    """Context manager/flag: trace gradient rules that are safe under XLA SPMD
+    partitioning. Currently switches the depthwise weight gradient from XLA's
+    grouped-conv dgrad (fast, but mis-partitioned by a wrong mesh-axis factor
+    under mixed batch/param shardings — jax 0.9.0, see ops/conv.py) to the
+    explicit tap-reduction rule (always partitioned correctly, ~1.7x slower
+    backward for the dw layers). The Trainer enables this automatically around
+    tracing whenever a batch/param sharding is configured; single-device
+    traces keep the fast rule. Part of trace_signature(), so flipping it
+    retraces rather than silently reusing the other rule's program."""
+
+    def __init__(self, flag=True):
+        self.flag = bool(flag)
+
+    def __enter__(self):
+        global _SPMD_SAFE_GRADS
+        self._prev = _SPMD_SAFE_GRADS
+        _SPMD_SAFE_GRADS = self.flag
+        return self
+
+    def __exit__(self, *exc):
+        global _SPMD_SAFE_GRADS
+        _SPMD_SAFE_GRADS = self._prev
+        return False
+
+
+def use_spmd_safe_grads() -> bool:
+    return _SPMD_SAFE_GRADS
+
+
 def trace_signature():
     """Hashable tuple of every global policy read at TRACE time by the ops
-    layer (compute dtype, pallas gate, matmul precision). Any jit cache keyed
-    on network structure must ALSO key on this, or flipping a policy after a
-    trace silently reuses the old numerics (the stale-trace class CLAUDE.md
-    warns about — confirmed reproducible before this key existed)."""
-    return (jnp.dtype(_COMPUTE_DTYPE).name, _USE_PALLAS, _MATMUL_PRECISION)
+    layer (compute dtype, pallas gate, matmul precision, SPMD-safe grad
+    rules). Any jit cache keyed on network structure must ALSO key on this,
+    or flipping a policy after a trace silently reuses the old numerics (the
+    stale-trace class CLAUDE.md warns about — confirmed reproducible before
+    this key existed)."""
+    return (jnp.dtype(_COMPUTE_DTYPE).name, _USE_PALLAS, _MATMUL_PRECISION,
+            _SPMD_SAFE_GRADS)

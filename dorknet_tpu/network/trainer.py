@@ -105,6 +105,19 @@ class Trainer:
     def _to_internal(self, X):
         return X if self.input_layout == "NHWC" else to_nhwc(X)
 
+    def _safe_grads_ctx(self):
+        """SPMD-safe gradient rules whenever this trainer runs sharded (see
+        config.spmd_safe_grads): the flag is read at TRACE time by the ops
+        layer and is part of trace_signature(), so sharded and single-device
+        trainers get distinct step programs."""
+        from dorknet_tpu.config import spmd_safe_grads, use_spmd_safe_grads
+
+        # OR, never AND: an externally enabled flag (user forcing safe rules)
+        # must survive this trainer's own context
+        return spmd_safe_grads(use_spmd_safe_grads()
+                               or self.batch_sharding is not None
+                               or self.param_sharding is not None)
+
     def _forward_loss(self, params, states, X, y_one_hot):
         """(loss_for_grad, (loss_reported, probs, new_states)) — optionally
         rematerialised."""
@@ -198,10 +211,11 @@ class Trainer:
         params, states = self._prepare()
         X, y_one_hot = self._place_batch(X, y_one_hot)
 
-        fn = self._get_step()
-        new_params, new_states, self._cache, self._ema, loss, preds = fn(
-            params, states, self._cache, self._ema, X, y_one_hot,
-            self.optimiser.device_lr())
+        with self._safe_grads_ctx():
+            fn = self._get_step()
+            new_params, new_states, self._cache, self._ema, loss, preds = fn(
+                params, states, self._cache, self._ema, X, y_one_hot,
+                self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return loss, preds
 
@@ -258,10 +272,11 @@ class Trainer:
             network._pending_grads = None
         params, states = self._prepare()
         Xs, ys = self._place_batch(X_stack, y_stack)
-        fn = self._get_accum_step()
-        new_params, new_states, self._cache, self._ema, loss = fn(
-            params, states, self._cache, self._ema, Xs, ys,
-            self.optimiser.device_lr())
+        with self._safe_grads_ctx():
+            fn = self._get_accum_step()
+            new_params, new_states, self._cache, self._ema, loss = fn(
+                params, states, self._cache, self._ema, Xs, ys,
+                self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return loss
 
@@ -332,9 +347,10 @@ class Trainer:
         else:
             Xs, ys = self._place_batch(X_stack, y_stack)
 
-        fn = self._get_multi_step()
-        new_params, new_states, self._cache, self._ema, losses, preds = fn(
-            params, states, self._cache, self._ema, Xs, ys,
-            self.optimiser.device_lr())
+        with self._safe_grads_ctx():
+            fn = self._get_multi_step()
+            new_params, new_states, self._cache, self._ema, losses, preds = fn(
+                params, states, self._cache, self._ema, Xs, ys,
+                self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return losses, preds

@@ -114,7 +114,15 @@ def _depthwise_core_bwd(stride, padding, res, dy):
     mesh, surfacing as FSDP training silently diverging from the
     single-device step (caught by __graft_entry__.dryrun_multichip's
     equality gate). A plain elementwise product + reduction is partitioned
-    correctly (batch reduce -> psum), on any mesh."""
+    correctly (batch reduce -> psum), on any mesh.
+
+    Cost: XLA emits one reduce fusion per tap (it does not multi-output-fuse
+    the nine shared reads), measured 47.7 vs 27.3 ms on the flagship bf16
+    b256 step — which is why depthwise_conv2d only selects this rule under
+    ``config.spmd_safe_grads`` (distributed traces), keeping the fast XLA
+    dgrad for single-device. Operands stay in the flow dtype (bf16 reads
+    under the production policy) with fp32 accumulation via einsum's
+    preferred_element_type."""
     x, w_cfhfw = res
     C, fh, fw = w_cfhfw.shape
 
@@ -123,15 +131,15 @@ def _depthwise_core_bwd(stride, padding, res, dy):
     dx = x_pullback(dy)[0]
 
     Ho, Wo = dy.shape[1], dy.shape[2]
-    xf = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
-                     (0, 0))).astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
+    xp = jnp.pad(_cast_in(x), ((0, 0), (padding, padding),
+                               (padding, padding), (0, 0)))
     taps = []
     for di in range(fh):
         for dj in range(fw):
-            sl = xf[:, di:di + stride * (Ho - 1) + 1:stride,
+            sl = xp[:, di:di + stride * (Ho - 1) + 1:stride,
                     dj:dj + stride * (Wo - 1) + 1:stride, :]
-            taps.append(jnp.sum(sl * dyf, axis=(0, 1, 2)))  # (C,)
+            taps.append(jnp.einsum("bijc,bijc->c", sl, dy,
+                                   preferred_element_type=jnp.float32))
     dw = jnp.stack(taps, axis=0).reshape(fh, fw, C).transpose(2, 0, 1)
     return dx, dw.astype(w_cfhfw.dtype)
 
@@ -144,14 +152,18 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
 
     Lowered via ``feature_group_count=C`` — one MXU-friendly grouped conv instead
     of the reference's per-(batch,channel) scalar loops
-    (reference: layers/im2col.pyx:109-139) — with a custom VJP whose weight
-    gradient is the explicit nine-tap reduction (see _depthwise_core_bwd for
-    why that is a correctness requirement under SPMD, not a preference).
-    With ``config.set_use_pallas(True)`` the 3x3 stride-1/2 cases (all the
-    flagship's depthwise layers, fp32 or bf16) run the fused Pallas kernel
-    (ops/pallas/depthwise.py) with its fused custom VJP instead.
+    (reference: layers/im2col.pyx:109-139). Gradient rule depends on the
+    trace context: single-device traces use XLA autodiff (fastest); under
+    ``config.spmd_safe_grads`` (set by the Trainer whenever batch/param
+    shardings are configured) the custom VJP with the explicit tap-reduction
+    weight gradient is used instead — XLA SPMD mis-partitions the grouped
+    dgrad under mixed shardings (see _depthwise_core_bwd; correctness
+    requirement, not a preference). With ``config.set_use_pallas(True)`` the
+    3x3 stride-1/2 cases (all the flagship's depthwise layers, fp32 or bf16)
+    run the fused Pallas kernel (ops/pallas/depthwise.py) with its fused
+    custom VJP instead.
     """
-    from dorknet_tpu.config import use_pallas
+    from dorknet_tpu.config import use_pallas, use_spmd_safe_grads
 
     C = w_cfhfw.shape[0]
     # VMEM bound: the kernel holds one image's padded slab (+ fp32 upcast and
@@ -170,7 +182,10 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
         if b is not None:
             y = _bias_add(y, b, (1, 1, 1, -1))
         return y
-    y = _depthwise_core(x, w_cfhfw, stride, padding)
+    if use_spmd_safe_grads():
+        y = _depthwise_core(x, w_cfhfw, stride, padding)
+    else:
+        y = _depthwise_grouped(x, w_cfhfw, stride, padding)
     if b is not None:
         y = _bias_add(y, b, (1, 1, 1, -1))
     return y
