@@ -579,6 +579,7 @@ def bench_pallas_check(B=4, H=14, C=128):
     from dorknet_tpu.ops.conv import depthwise_conv2d
 
     prev_interp = pdw._INTERPRET
+    prev_prec = dorknet_tpu.config.get_matmul_precision()
     if jax.default_backend() == "cpu":
         pdw._INTERPRET = True
     rng = np.random.RandomState(0)
@@ -586,6 +587,12 @@ def bench_pallas_check(B=4, H=14, C=128):
     try:
         for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
             dorknet_tpu.set_compute_dtype(dtype)
+            # fp32 oracle must be TRUE fp32: the TPU's default conv precision
+            # is a single bf16 MXU pass (~2e-3 rel err), which would swamp
+            # the fp32 tolerance while the Pallas kernel accumulates real
+            # fp32 on the VPU
+            dorknet_tpu.set_matmul_precision(
+                "highest" if dtype == jnp.float32 else None)
             for stride in (1, 2):
                 x = jnp.asarray(rng.randn(B, H, H, C), jnp.float32).astype(dtype)
                 w = jnp.asarray(rng.randn(C, 3, 3), jnp.float32)
@@ -617,6 +624,7 @@ def bench_pallas_check(B=4, H=14, C=128):
                             f" MISMATCH: rel err {err:.2e} > {tol}")
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
+        dorknet_tpu.set_matmul_precision(prev_prec)
         pdw._INTERPRET = prev_interp
     log(f"pallas depthwise check: {'OK' if ok else 'FAILED'} "
         f"(max rel err {max_err:.2e}, backend {jax.default_backend()})")
