@@ -46,12 +46,23 @@ def _init_bn(net, image, classes, batch=8, seed=7):
     bench network those are zeros placeholders, which the runners now refuse
     (VERDICT r2 item 1: the round-2 serving bench raised here, and the
     pre-guard numbers were measured on garbage activations). One train-mode
-    forward writes real stats — the timed graphs are then numerically live."""
+    forward writes real stats — the timed graphs are then numerically live.
+
+    A forward-only train-mode pass is compiled directly (net.forward(X, y)
+    would trace the full fused forward+backward training program just to
+    write stats — 30-60 s per extra compile through a degraded tunnel)."""
+    from dorknet_tpu.layers.base import to_nhwc
+
     rng = np.random.RandomState(seed)
     X = rng.randn(batch, 3, image, image).astype(np.float32)
-    y = np.eye(classes, dtype=np.float32)[rng.randint(0, classes, batch)]
-    net.forward(X, y)
-    net._pending_grads = None
+
+    def fwd(p, s, x):
+        _, new_states, _, _, _ = net._run_layers(p, s, to_nhwc(x), train=True)
+        return new_states
+
+    new_states = jax.jit(fwd)(net.gather_params(), net.gather_states(),
+                              jax.numpy.asarray(X))
+    net.scatter_states(new_states)
 
 
 def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
@@ -580,6 +591,7 @@ def bench_pallas_check(B=4, H=14, C=128):
 
     prev_interp = pdw._INTERPRET
     prev_prec = dorknet_tpu.config.get_matmul_precision()
+    prev_dtype = dorknet_tpu.config.get_compute_dtype()
     if jax.default_backend() == "cpu":
         pdw._INTERPRET = True
     rng = np.random.RandomState(0)
@@ -623,7 +635,7 @@ def bench_pallas_check(B=4, H=14, C=128):
                         log(f"  pallas {name} s{stride} {np.dtype(dtype).name}"
                             f" MISMATCH: rel err {err:.2e} > {tol}")
     finally:
-        dorknet_tpu.set_compute_dtype(jnp.float32)
+        dorknet_tpu.set_compute_dtype(prev_dtype)
         dorknet_tpu.set_matmul_precision(prev_prec)
         pdw._INTERPRET = prev_interp
     log(f"pallas depthwise check: {'OK' if ok else 'FAILED'} "
@@ -651,7 +663,7 @@ def main():
         return deadline - time.monotonic()
 
     # SECTION ORDER (VERDICT r2 item 3): headline first but CAPPED at 35% of
-    # the budget, then the round-mandated pallas_ok / serving / stretch
+    # the budget, then the round-mandated serving / stretch / pallas_ok
     # sections, then the secondary pipeline metrics. BENCH_r01 and BENCH_r02
     # both ran out of budget before serving+stretch; the cap plus this order
     # guarantees them a slice even through a degraded tunnel window.
@@ -666,16 +678,6 @@ def main():
             consider(v, "device" if k.endswith("_device") else "wall")
     except Exception as e:
         log(f"interleaved fp32/bf16 failed: {e}")
-
-    # Pallas on-chip correctness (cheap, small compiles) — keeps the fused
-    # depthwise kernels honest as JAX/Mosaic versions move
-    try:
-        ok, err = bench_pallas_check()
-        results["pallas_ok"] = bool(ok)
-        results["pallas_max_rel_err"] = float(f"{err:.3g}")
-    except Exception as e:
-        log(f"pallas check failed: {e}")
-        results["pallas_ok"] = False
 
     # Serving ladder (BN initialised — _init_bn): bf16 fold_bn + int8
     if time_left() > 60:
@@ -709,6 +711,21 @@ def main():
                 log(f"{m} failed: {e}")
         else:
             log(f"skipping {m} (time budget)")
+
+    # Pallas on-chip correctness — keeps the fused depthwise kernels honest
+    # as JAX/Mosaic versions move. After serving/stretch: its ~16 small
+    # compiles are cheap in a healthy window but could starve the mandated
+    # sections through a degraded tunnel, hence the guard and the placement.
+    if time_left() > 90:
+        try:
+            ok, err = bench_pallas_check()
+            results["pallas_ok"] = bool(ok)
+            results["pallas_max_rel_err"] = float(f"{err:.3g}")
+        except Exception as e:
+            log(f"pallas check failed: {e}")
+            results["pallas_ok"] = False
+    else:
+        log("skipping pallas check (time budget)")
 
     if time_left() > 120:
         try:

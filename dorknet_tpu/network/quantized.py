@@ -184,12 +184,15 @@ class QuantizedInferenceRunner(InferenceRunner):
         for X in batches:
             X = np.asarray(X, np.float32)
             for i in range(0, X.shape[0], self.batch_size):
+                # ragged chunks are observed at their NATURAL size (one extra
+                # trace per distinct tail shape — calibration is offline).
+                # Earlier versions padded by cycling rows, which is fine for
+                # max (duplication-invariant) but distorts the percentile
+                # statistic: duplicating a corrupted image's rows up to 10x
+                # re-inflates exactly the outlier mass percentile mode exists
+                # to clip, and uneven cycling weights rows unequally.
                 part = X[i:i + self.batch_size]
-                # pad ragged chunks by CYCLING real rows, not zeros: a zero
-                # image produces the folded-bias response at every layer and
-                # would skew the recorded maxima (inflated static scales)
-                idx = np.arange(self.batch_size) % part.shape[0]
-                m = np.asarray(fn(self._params, jnp.asarray(part[idx])))
+                m = np.asarray(fn(self._params, jnp.asarray(part)))
                 running = m if running is None else np.maximum(running, m)
         if running is None:
             raise ValueError("calibrate() needs at least one batch")

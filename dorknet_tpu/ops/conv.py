@@ -175,6 +175,10 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
             and w_cfhfw.shape[1:] == (3, 3)
             and (C <= 512 or C % 256 == 0)  # kernel channel-blocking precondition
             and _vmem_ok
+            # sharded traces must NOT take the Pallas path: its custom VJP's
+            # SPMD partitioning is unverified, which would reopen the exact
+            # silent-wrong-gradient hole spmd_safe_grads closes
+            and not use_spmd_safe_grads()
             and jax.default_backend() == "tpu"):
         from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
 

@@ -267,3 +267,39 @@ def test_fsdp_depthwise_grad_matches_single_device():
                           jax.tree_util.tree_leaves(pb)):
             np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                        rtol=5e-3, atol=5e-4)
+
+
+def test_xla_grouped_conv_dgrad_spmd_bug_canary():
+    """Canary for the UPSTREAM XLA SPMD bug this framework works around
+    (ops/conv.py:_depthwise_core_bwd): the grouped-conv weight gradient,
+    with the filter's channel dim sharded on the same mesh axis as the
+    batch, comes out scaled by a wrong mesh-axis factor (2x here, jax
+    0.9.0). If this test FAILS after a JAX upgrade, the upstream bug is
+    fixed — re-evaluate whether config.spmd_safe_grads still needs to exist
+    (the safe rule costs +39% backward-dw on sharded traces, PERF.md r3)."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    C, B, H = 16, 8, 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, H, C), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 1, C), jnp.float32)
+
+    def f(x, w):
+        y = lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+        return jnp.sum(y ** 2)
+
+    g_ref = np.asarray(jax.jit(jax.grad(f, argnums=1))(x, w))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, None, None, "data")))
+    g_sh = np.asarray(jax.jit(jax.grad(f, argnums=1))(xs, ws))
+    ratio = g_sh / np.where(np.abs(g_ref) > 1e-6, g_ref, np.nan)
+    assert not np.allclose(np.nanmean(ratio), 1.0, atol=1e-3), (
+        "XLA's grouped-conv dgrad now partitions correctly under "
+        "channel-on-batch-axis sharding — the upstream bug this framework "
+        "works around appears FIXED; re-evaluate config.spmd_safe_grads "
+        "(see ops/conv.py:_depthwise_core_bwd and PERF.md round-3)")
