@@ -4,7 +4,9 @@ from dorknet_tpu.layers.depthwise_convolution import DepthwiseConvLayer
 from dorknet_tpu.layers.pointwise_convolution import PointwiseConvLayer
 from dorknet_tpu.layers.dense_layer import DenseLayer
 from dorknet_tpu.layers.batch_norm import BatchNormLayer
-from dorknet_tpu.layers.activations import ReLu, ReLu6, IdentityLayer
+from dorknet_tpu.layers.activations import (ReLu, ReLu6, IdentityLayer,
+                                            HardSwish, HardSigmoid)
+from dorknet_tpu.layers.squeeze_excite import SqueezeExciteLayer
 from dorknet_tpu.layers.pooling import GlobalAveragePoolingLayer, MaxPoolLayer
 from dorknet_tpu.layers.residual_block import ResidualBlock
 from dorknet_tpu.layers.reshape import ReshapeLayer
@@ -20,6 +22,9 @@ __all__ = [
     "ReLu",
     "ReLu6",
     "IdentityLayer",
+    "HardSwish",
+    "HardSigmoid",
+    "SqueezeExciteLayer",
     "GlobalAveragePoolingLayer",
     "MaxPoolLayer",
     "ResidualBlock",

@@ -74,3 +74,46 @@ class IdentityLayer(Layer):
 
     def load_from_h5(self, open_f, load_grads=True):
         pass
+
+
+@register_layer
+class HardSwish(Layer):
+    """x * relu6(x + 3) / 6 — MobileNet-V3's cheap swish approximation
+    (elementwise VPU math, fuses into the surrounding graph; not in the
+    reference, whose zoo is plain-ReLU only)."""
+
+    def __init__(self, layer_name):
+        super().__init__(layer_name)
+
+    def __repr__(self):
+        return "HardSwish({})".format(self.layer_name)
+
+    def fapply(self, params, state, x, train):
+        return x * (jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)).astype(x.dtype), state
+
+    def save_to_h5(self, open_f, save_grads=True):
+        h5io.create_layer_info(open_f, self.layer_name, "HardSwish")
+
+    def load_from_h5(self, open_f, load_grads=True):
+        pass
+
+
+@register_layer
+class HardSigmoid(Layer):
+    """relu6(x + 3) / 6 — the gating nonlinearity of MobileNet-V3's
+    squeeze-excite blocks."""
+
+    def __init__(self, layer_name):
+        super().__init__(layer_name)
+
+    def __repr__(self):
+        return "HardSigmoid({})".format(self.layer_name)
+
+    def fapply(self, params, state, x, train):
+        return (jnp.clip(x + 3.0, 0.0, 6.0) * (1.0 / 6.0)).astype(x.dtype), state
+
+    def save_to_h5(self, open_f, save_grads=True):
+        h5io.create_layer_info(open_f, self.layer_name, "HardSigmoid")
+
+    def load_from_h5(self, open_f, load_grads=True):
+        pass

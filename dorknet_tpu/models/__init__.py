@@ -1,6 +1,8 @@
 from dorknet_tpu.models.mnist_convnet import MNISTNet
 from dorknet_tpu.models.resnet import ResNet18, build_resnet18_plain
 from dorknet_tpu.models.mobilenet_v2 import MobileNetV2
+from dorknet_tpu.models.mobilenet_v3 import MobileNetV3Small
 from dorknet_tpu.models.resnet50 import ResNet50
 
-__all__ = ["MNISTNet", "ResNet18", "build_resnet18_plain", "MobileNetV2", "ResNet50"]
+__all__ = ["MNISTNet", "ResNet18", "build_resnet18_plain", "MobileNetV2",
+           "MobileNetV3Small", "ResNet50"]

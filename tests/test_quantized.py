@@ -330,15 +330,20 @@ def test_quantized_ragged_and_refresh():
     assert np.abs(before - after).max() > 0  # new weights really captured
 
 
-@pytest.mark.parametrize("family", ["mobilenet_v2", "resnet50"])
+@pytest.mark.parametrize("family", ["mobilenet_v2", "mobilenet_v3",
+                                    "resnet50"])
 def test_quantized_stretch_models(family):
-    """The stretch zoo quantises too (ReLu6 / bottleneck residual / identity
-    post-skip structures) — top-1 agreement with the fp32 server."""
-    from dorknet_tpu.models import MobileNetV2, ResNet50
+    """The stretch zoo quantises too (ReLu6 / hard-swish / squeeze-excite /
+    bottleneck residual / identity post-skip structures) — top-1 agreement
+    with the fp32 server. SE layers run unquantised (plain fapply nodes,
+    inside residual recursion) and must not disturb the calibration walk."""
+    from dorknet_tpu.models import MobileNetV2, MobileNetV3Small, ResNet50
 
     np.random.seed(0)
     if family == "mobilenet_v2":
         net = MobileNetV2("q-mnv2", num_classes=6, width_mult=0.25)
+    elif family == "mobilenet_v3":
+        net = MobileNetV3Small("q-mnv3", num_classes=6, width_mult=0.5)
     else:
         net = ResNet50("q-r50", num_classes=6)
     X = np.random.randn(4, 3, 64, 64).astype(np.float32)
@@ -353,7 +358,7 @@ def test_quantized_stretch_models(family):
     # MobileNet's narrow inverted bottlenecks are the classic PTQ-sensitive
     # case (worse still at width 0.25) — decisions agree but probabilities
     # drift more than the ResNet families'
-    tol = 0.12 if family == "mobilenet_v2" else 0.06
+    tol = 0.12 if family.startswith("mobilenet") else 0.06
     assert np.abs(p_fp - p_q).max() < tol
 
 
