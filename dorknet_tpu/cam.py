@@ -62,10 +62,14 @@ def _build_cam_fn(net, top_k, terminal_layer_name, out_size):
 
         top = jnp.argsort(scores)[::-1][:top_k]
         dense_w = _classifier_weights(net, params)  # (C, num_classes)
-        w_sel = dense_w.T[top]  # (top_k, C)
+        w_sel = dense_w.T[top]  # (k, C) — k = min(top_k, num_classes)
 
         cam = jnp.einsum("kc,hwc->khw", w_sel, feats)
-        cam = jax.image.resize(cam, (top_k, out_size, out_size), method="bilinear")
+        # resize SPATIALLY only: cam.shape[0] (not top_k) — when num_classes
+        # < top_k a (classes, out, out) target would bilinearly interpolate
+        # ALONG THE CLASS AXIS, fabricating blended maps
+        cam = jax.image.resize(cam, (cam.shape[0], out_size, out_size),
+                               method="bilinear")
         cam = jnp.maximum(cam, 0)
         cam = cam - jnp.min(cam, axis=(1, 2), keepdims=True)
         mx = jnp.max(cam, axis=(1, 2), keepdims=True)
@@ -84,6 +88,10 @@ def compute_cam_scores(net, X, top_k=3, terminal_layer_name="res8", out_size=225
     # collectable.
     from dorknet_tpu.config import trace_signature
 
+    # the test-mode branch divides by the running stats — fail loudly on the
+    # zero placeholders instead of returning NaN maps (same host-boundary
+    # contract as forward(test_mode=True))
+    net._require_bn_initialized("compute_cam_scores")
     key = (net._version, top_k, terminal_layer_name, out_size,
            trace_signature(),
            tuple(l._trace_signature() for l in net.layers))
@@ -141,6 +149,7 @@ def compute_cam_scores_batch(net, X, top_k=3, terminal_layer_name="res8",
     mutation) via a vmapped batch-of-one forward."""
     from dorknet_tpu.config import trace_signature
 
+    net._require_bn_initialized("compute_cam_scores_batch")
     key = ("batch", net._version, top_k, terminal_layer_name, out_size,
            trace_signature(),
            tuple(l._trace_signature() for l in net.layers))

@@ -100,7 +100,8 @@ class ImageDataLoader:
                 self.use_native_loader = True
             else:
                 print("ImageDataLoader: native loader unavailable or "
-                      "incompatible preprocessor — falling back to cv2 path")
+                      "incompatible preprocessor — falling back to cv2 path",
+                      file=sys.stderr)
         self.mixup_range_tuple = mixup_range_tuple
         self.base_folder = base_folder
         self.num_workers = num_workers
@@ -126,6 +127,20 @@ class ImageDataLoader:
         self.class_name_num_map, per_class_paths, self.samples = (
             discover_dataset(base_folder))
         self.class_names = list(self.class_name_num_map)
+        # Fail at construction, not in the producer: an empty dataset (or, in
+        # class-balanced mode, any empty class) would make the producer's
+        # cycle raise StopIteration forever — an unbounded retry loop spamming
+        # stderr while pull_batch blocks on an empty queue.
+        if not self.samples:
+            raise ValueError(
+                "no images found under {} (expected <class>/images/* "
+                "layout)".format(base_folder))
+        if class_balance:
+            empty = [n for n, p in per_class_paths.items() if not p]
+            if empty:
+                raise ValueError(
+                    "class_balance=True but these classes have no images: "
+                    "{}".format(empty))
         # class-balanced mode: round-robin over classes, cycling each
         # class's own path list independently
         self.class_cycle = itertools.cycle(
@@ -217,7 +232,8 @@ class ImageDataLoader:
                 if ok < len(X_batch_list):
                     print("ImageDataLoader: {} of {} images failed to decode "
                           "(zero-filled)".format(len(X_batch_list) - ok,
-                                                 len(X_batch_list)))
+                                                 len(X_batch_list)),
+                          file=sys.stderr)
                 return out
             import cv2
 
@@ -253,7 +269,8 @@ class ImageDataLoader:
             if ok < len(X_batch_list):
                 print("ImageDataLoader: {} of {} images failed to decode "
                       "(zero-filled)".format(len(X_batch_list) - ok,
-                                             len(X_batch_list)))
+                                             len(X_batch_list)),
+                      file=sys.stderr)
             return out
         def load_preprocessed(p):
             try:

@@ -64,6 +64,15 @@ class Experiment:
     def resume_or_init(self):
         os.makedirs(self.dir, exist_ok=True)
         ckpt, epoch, acc = find_latest_checkpoint(self.dir)
+        if ckpt is not None and not os.path.exists(self.json_path):
+            # Checkpoints without the structure json is an inconsistent
+            # directory: silently re-initialising would rewrite the json and
+            # restart at epoch 1, after which the NEXT resume loads the stale
+            # high-epoch h5 against the new json — surface it instead.
+            raise RuntimeError(
+                "{} contains checkpoints (latest: {}) but no structure json "
+                "at {} — restore the json or remove the stale checkpoints "
+                "before resuming".format(self.dir, ckpt, self.json_path))
         if ckpt is not None and os.path.exists(self.json_path):
             if self.empty_network_factory is not None:
                 net = self.empty_network_factory()

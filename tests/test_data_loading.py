@@ -524,3 +524,31 @@ def test_train_pipeline_planes_default_full_stack():
                               output_layout="NHWC", **kw)
     np.testing.assert_array_equal(np.asarray(Xn),
                                   np.asarray(X).transpose(0, 2, 3, 1))
+
+
+def test_loader_rejects_empty_dataset_and_empty_class(tmp_path):
+    """Construction-time guard: empty datasets / empty classes used to make
+    the producer thread spin forever on StopIteration while pull_batch hung."""
+    import pytest
+    from dorknet_tpu.data_loading import ImageDataLoader, ImagePreprocessor
+
+    pp = ImagePreprocessor((8, 8))
+    empty = tmp_path / "empty"
+    (empty / "classA" / "images").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no images found"):
+        ImageDataLoader(str(empty), 4, pp, start_thread=False)
+
+    import cv2
+    import numpy as np
+    mixed = tmp_path / "mixed"
+    (mixed / "classA" / "images").mkdir(parents=True)
+    (mixed / "classB" / "images").mkdir(parents=True)
+    cv2.imwrite(str(mixed / "classA" / "images" / "a.jpg"),
+                np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="no images"):
+        ImageDataLoader(str(mixed), 4, pp, class_balance=True,
+                        start_thread=False)
+    # flat mode tolerates the empty class (samples exist)
+    l = ImageDataLoader(str(mixed), 4, pp, class_balance=False,
+                        start_thread=False)
+    assert len(l.samples) == 1

@@ -146,6 +146,24 @@ def test_cam_pipeline_on_trained_tiny_net(tmp_path):
     cam_host = returnCAM(np.asarray(feats), w, best, size_upsample=(32, 32))
     np.testing.assert_allclose(np.stack(cam_host), c, rtol=1e-3, atol=1e-3)
 
+    # top_k > num_classes must clamp to the class count, NOT bilinearly
+    # interpolate along the class axis (a (4,...) -> (6,...) resize would
+    # fabricate blended maps)
+    s6, c6 = compute_cam_scores(net2, X[:1], top_k=6,
+                                terminal_layer_name="res8", out_size=32)
+    assert np.asarray(c6).shape == (4, 32, 32)
+
+    # uninitialised BN must fail loudly (zero running stats -> NaN maps)
+    fresh = FeedForwardNetwork("cam-uninit")
+    fresh.add_layer(ConvLayer("c", filter_block_shape=(8, 3, 3, 3),
+                              with_bias=False))
+    fresh.add_layer(BatchNormLayer("b", incoming_chans=8))
+    fresh.add_layer(ReLu("res8"))
+    fresh.add_layer(GlobalAveragePoolingLayer("g"))
+    fresh.add_layer(DenseLayer("d", incoming_chans=8, output_dim=4))
+    with pytest.raises(ValueError, match="running statistics"):
+        compute_cam_scores(fresh, X[:1], terminal_layer_name="res8")
+
     # batched CAM (N images per dispatch) matches per-image CAM exactly:
     # the vmapped batch-of-one tap reproduces per-image batch statistics
     from dorknet_tpu.cam import compute_cam_scores_batch

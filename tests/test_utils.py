@@ -320,3 +320,19 @@ def test_orbax_ema_shadow_roundtrip(tmp_path):
     tr4 = Trainer(net4, SGDMomentum(net4, 0.05, 0.9), ema_decay=0.9)
     load_checkpoint(p2, net4, tr4)  # must not raise
     assert tr4._cache is not None
+
+
+def test_resume_rejects_checkpoints_without_json(tmp_path):
+    """Checkpoints present but structure json missing = inconsistent dir;
+    silently re-initialising used to restart at epoch 1 and then let the NEXT
+    resume load the stale high-epoch h5 against the rewritten json."""
+    import pytest
+    from dorknet_tpu.utils.experiment import Experiment
+
+    d = tmp_path / "Exp"
+    d.mkdir()
+    (d / "epoch_20_testacc_0.5.h5").write_bytes(b"")
+    exp = Experiment("Exp", network_factory=lambda: None,
+                     base_dir=str(tmp_path))
+    with pytest.raises(RuntimeError, match="no structure json"):
+        exp.resume_or_init()
