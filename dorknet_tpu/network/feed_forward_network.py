@@ -166,6 +166,13 @@ class FeedForwardNetwork:
                     .format(terminal_layer_name,
                             [l.layer_name for l in self.layers]))
             if test_mode:
+                # same host-boundary contract as the plain test-mode branch —
+                # but only the trunk UP TO the tap runs (layers after it are
+                # short-circuited), so only that prefix needs running stats
+                idx = [l.layer_name for l in self.layers].index(
+                    terminal_layer_name)
+                self._require_bn_initialized("test-mode feature tap",
+                                             layers=self.layers[:idx + 1])
                 fn = self._jit_for(("tap_test", terminal_layer_name),
                                    lambda p, s, x: self._tap_fn_test(
                                        p, s, x, terminal_layer_name))
@@ -210,12 +217,14 @@ class FeedForwardNetwork:
             l.set_grads(g)
         self._pending_grads = None
 
-    def _require_bn_initialized(self, what):
+    def _require_bn_initialized(self, what, layers=None):
         """Inference normalises by the RUNNING stats; before the first
         training batch those are zeros placeholders and the divide emits
         Inf/NaN silently (the reference crashes on the None arithmetic
-        instead) — fail loudly at the host boundary."""
-        bad = [l.layer_name for l in self.layers if not l.bn_initialized()]
+        instead) — fail loudly at the host boundary. ``layers`` restricts the
+        check to a subset (e.g. the trunk before a feature tap)."""
+        layers = self.layers if layers is None else layers
+        bad = [l.layer_name for l in layers if not l.bn_initialized()]
         if bad:
             raise ValueError(
                 "{} needs initialised batch-norm running statistics; run a "

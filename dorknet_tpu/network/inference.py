@@ -29,7 +29,28 @@ class InferenceRunner:
         self.batch_sharding = batch_sharding
         self._params = network.gather_params()
         self._states = network.gather_states()
-        self._fn = jax.jit(lambda p, s, x: network._test_fn(p, s, x))
+        self._build_jit()
+
+    def _build_jit(self):
+        """(Re)trace the serving program under the CURRENT global policies.
+        The jit is keyed on config.trace_signature() like every other cache
+        in the repo: flipping set_compute_dtype / set_matmul_precision /
+        set_use_pallas after construction must retrace, not silently serve
+        the stale program (the stale-trace class CLAUDE.md documents)."""
+        from dorknet_tpu.config import trace_signature
+
+        net = self.network
+        self._sig = trace_signature()
+        self._fn = jax.jit(lambda p, s, x: net._test_fn(p, s, x))
+
+    def _ensure_current_trace(self):
+        from dorknet_tpu.config import trace_signature
+
+        if trace_signature() != self._sig:
+            self._rebuild_for_policy()
+
+    def _rebuild_for_policy(self):
+        self._build_jit()
 
     def refresh(self):
         """Re-capture params/state after further training of the SOURCE network
@@ -38,12 +59,12 @@ class InferenceRunner:
             from dorknet_tpu.utils.fold_bn import fold_batch_norms
 
             self.network = fold_batch_norms(self._source)
-            net = self.network
-            self._fn = jax.jit(lambda p, s, x: net._test_fn(p, s, x))
+            self._build_jit()
         self._params = self.network.gather_params()
         self._states = self.network.gather_states()
 
     def _run_fixed(self, X):
+        self._ensure_current_trace()
         if self.batch_sharding is not None:
             X = jax.device_put(X, self.batch_sharding)
         return self._fn(self._params, self._states, X)
@@ -89,6 +110,7 @@ class InferenceRunner:
                 X, pad = self._pad_to_batch(np.asarray(b[0], np.float32))
                 yield (X, pad) + tuple(b[1:])
 
+        self._ensure_current_trace()
         for batch in device_prefetch(padded(), size=2,
                                      sharding=self.batch_sharding):
             X, pad = batch[0], batch[1]

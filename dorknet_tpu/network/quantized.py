@@ -222,6 +222,8 @@ class QuantizedInferenceRunner(InferenceRunner):
         self._build_jit_only()
 
     def _build_jit_only(self):
+        from dorknet_tpu.config import trace_signature
+
         nodes, has_loss = self._nodes, self._has_loss
 
         def forward(qp, _unused_states, X):
@@ -234,7 +236,14 @@ class QuantizedInferenceRunner(InferenceRunner):
                 return softmax_probs(x)
             return to_nchw(x)
 
+        # keyed on the policy globals like InferenceRunner._build_jit: a
+        # compute-dtype/precision flip after construction retraces (the int8
+        # weights are policy-independent; the plain nodes and rescales are not)
+        self._sig = trace_signature()
         self._fn = jax.jit(forward)
+
+    def _rebuild_for_policy(self):
+        self._build_jit_only()
 
 
 # --------------------------------------------------------------------------- #

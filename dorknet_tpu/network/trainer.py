@@ -88,12 +88,21 @@ class Trainer:
         InferenceRunner/QuantizedInferenceRunner or checkpoint it."""
         import copy
 
+        from dorknet_tpu.utils.fold_bn import _clear_jit_caches
+
         if self._ema is None:
             raise ValueError("no EMA yet: construct Trainer(ema_decay=...) "
                              "and run at least one step")
+        # clear SOURCE caches (network-level and per-layer, recursively)
+        # BEFORE deepcopy — copying populated caches drags every compiled
+        # PjitFunction through deepcopy and retains them in the served
+        # object for its lifetime (they regenerate on the next forward)
+        self.network._jit_cache = {}
+        self.network._cam_cache = {}
+        _clear_jit_caches(self.network.layers)
+        if self.network.loss_layer is not None:
+            self.network.loss_layer._jit_cache = {}
         net = copy.deepcopy(self.network)
-        for l in net.layers:
-            l._jit_cache = {}
         # COPY the shadow buffers out: the next step donates self._ema's
         # buffers in-place, which would invalidate a served alias
         ema_copy = jax.tree_util.tree_map(lambda e: jnp.array(e), self._ema)
@@ -224,8 +233,13 @@ class Trainer:
     # grads are averaged in a lax.scan — emulates batch K*B within the HBM
     # footprint of batch B (pairs well with remat=True).
     # NB: batch-norm statistics are per-MICRO-batch (each micro-batch runs its
-    # own BN forward, matching what sequential small-batch steps would see),
-    # not per-effective-batch.
+    # own BN forward), not per-effective-batch. One deliberate wrinkle on a
+    # FRESH network: the BN-initialisation pre-pass adopts micro-batch 0's
+    # statistics and the scan then EMAs all K micro-batches (including 0
+    # again), so batch 0 is weighted twice in the running stats on that first
+    # call only — a one-time momentum-0.95 bias accepted to keep the scan a
+    # single static-K program (gradients are NOT double-counted; sequential
+    # small-batch semantics hold exactly from the second call on).
     # ------------------------------------------------------------------ #
     def _get_accum_step(self):
         key = ("accum",) + self._signature()

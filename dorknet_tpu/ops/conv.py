@@ -168,8 +168,12 @@ def depthwise_conv2d(x, w_cfhfw, b=None, stride=1, padding=1):
     C = w_cfhfw.shape[0]
     # VMEM bound: the kernel holds one image's padded slab (+ fp32 upcast and
     # accumulator) per channel block in VMEM; large-spatial blocks would fail
-    # Mosaic allocation at compile time — fall back to XLA instead
-    _vmem_ok = ((x.shape[1] + 2) * (x.shape[2] + 2) * min(C, 256) * 4
+    # Mosaic allocation at compile time — fall back to XLA instead. The
+    # channel block mirrors pallas/depthwise._block_c exactly: BC = C for
+    # C <= 512, else 256 (a min(C,256) model would under-count 256<C<=512 by
+    # 2x and admit configs that crash Mosaic instead of falling back).
+    _block_c = C if C <= 512 else 256
+    _vmem_ok = ((x.shape[1] + 2) * (x.shape[2] + 2) * _block_c * 4
                 <= 4 * 1024 * 1024)
     if (use_pallas() and stride in (1, 2) and padding == 1
             and w_cfhfw.shape[1:] == (3, 3)

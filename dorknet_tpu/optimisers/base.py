@@ -26,8 +26,24 @@ class Optimiser:
     def __init__(self, network, learning_rate):
         self.network = network
         self.learnable_layers = [l for l in network.layers if _has_params(l)]
+        self._layers_version = network._version
         self.learning_rate = learning_rate
         self._update_jit = None
+
+    def _refresh_layers(self):
+        """Re-derive learnable_layers when the network's structure changed
+        (layers added, or a checkpoint load repopulated them) — a stale
+        construction-time snapshot would make update_weights() silently skip
+        the new layers while the loop runs without error. The reference has
+        the same snapshot-at-init shape (optimisers/SGDMomentum.py:8-14) but
+        its scripts always construct the optimiser last; this API can't
+        assume that. (grad_cache is keyed per (layer, param) lazily, so a
+        refresh simply grows it on the next update.)"""
+        if self._layers_version != self.network._version:
+            self.learnable_layers = [l for l in self.network.layers
+                                     if _has_params(l)]
+            self._layers_version = self.network._version
+            self.grad_cache = None  # re-init over the new params tree
 
     def set_learning_rate(self, new_lr):
         self.learning_rate = new_lr
@@ -47,12 +63,15 @@ class Optimiser:
 
     # -- pytree plumbing ---------------------------------------------------- #
     def gather_params(self):
+        self._refresh_layers()
         return [l.get_params() for l in self.learnable_layers]
 
     def gather_grads(self):
+        self._refresh_layers()
         return [l.get_grads() for l in self.learnable_layers]
 
     def scatter_params(self, new_params):
+        self._refresh_layers()
         for l, p in zip(self.learnable_layers, new_params):
             l.set_params(p)
 

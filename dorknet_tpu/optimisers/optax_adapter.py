@@ -17,9 +17,13 @@ then threaded into the jitted update as a traced scalar (no retrace on
 schedule changes).
 """
 
+import itertools
+
 import optax
 
 from dorknet_tpu.optimisers.base import Optimiser
+
+_INSTANCE_IDS = itertools.count()
 
 
 class OptaxOptimiser(Optimiser):
@@ -30,6 +34,17 @@ class OptaxOptimiser(Optimiser):
         multiply_learning_rate schedule API to drive it."""
         super().__init__(network, learning_rate)
         self.transformation = transformation
+        self._instance_id = next(_INSTANCE_IDS)
+
+    def hyper_key(self):
+        """An optax transformation's update rule is an opaque closure — two
+        adapters can share the class name AND the state treedef while baking
+        different hyperparameters (adamw(1e-3) vs adamw(1e-2)), so the
+        generic (class, hypers) jit signature cannot distinguish them and a
+        swapped-in optimiser would silently keep running the OLD traced
+        update. Each instance therefore contributes a unique id to every jit
+        signature (Trainer + update_weights): swapping adapters retraces."""
+        return (self._instance_id,)
 
     def device_lr(self):
         if self.learning_rate is None:

@@ -90,6 +90,8 @@ def fold_batch_norms(network):
     _clear_jit_caches(network.layers)
     layers = copy.deepcopy(network.layers)
     folded.layers = _fold_list(layers)
+    if network.loss_layer is not None:
+        network.loss_layer._jit_cache = {}
     folded.loss_layer = copy.deepcopy(network.loss_layer)
     folded._version += 1
     return folded

@@ -515,3 +515,60 @@ def test_unknown_terminal_layer_name_is_clear_error():
     net = small_net(seed=35)
     with pytest.raises(ValueError, match="matches no layer"):
         net.forward(X, None, test_mode=True, terminal_layer_name="typo")
+
+
+def test_test_mode_tap_requires_bn_init():
+    """forward(test_mode=True, terminal_layer_name=...) must hit the same
+    BN-initialisation guard as the plain test-mode branch — it used to return
+    silently-NaN feature maps (divide by the zero running-std placeholder)."""
+    import pytest
+    from dorknet_tpu.layers import (ConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer)
+
+    np.random.seed(0)
+    net = FeedForwardNetwork("tap-guard")
+    net.add_layer(ConvLayer("c", filter_block_shape=(8, 3, 3, 3),
+                            with_bias=False))
+    net.add_layer(BatchNormLayer("b", incoming_chans=8))
+    net.add_layer(ReLu("feat"))
+    net.add_layer(GlobalAveragePoolingLayer("g"))
+    net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=4))
+    X = np.random.randn(2, 3, 8, 8).astype(np.float32)
+    with pytest.raises(ValueError, match="running statistics"):
+        net.forward(X, None, test_mode=True, terminal_layer_name="feat")
+    # train-mode tap (batch statistics) still works pre-init
+    _, feats = net.forward(X, None, test_mode=False, terminal_layer_name="feat")
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_inference_runner_policy_flip_retraces():
+    """A compute-policy flip after an InferenceRunner is built must retrace
+    the serving program, not silently serve the stale-trace numerics (same
+    contract as every trace_signature-keyed cache)."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.network import InferenceRunner, Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.models import MNISTNet
+
+    np.random.seed(0)
+    net = MNISTNet("flip")
+    X = np.random.randn(8, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 8)]
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    for _ in range(4):
+        tr.step(X, y)
+
+    r = InferenceRunner(net, batch_size=8)
+    p_fp32 = r.predict_probs(X)
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        p_flip = r.predict_probs(X)          # same runner, flipped policy
+        fresh = InferenceRunner(net, batch_size=8)
+        p_fresh = fresh.predict_probs(X)     # built natively under bf16
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    np.testing.assert_array_equal(p_flip, p_fresh)  # retraced, not stale
+    assert np.abs(p_flip - p_fp32).max() > 0  # bf16 numerics really applied
+    p_back = r.predict_probs(X)              # and back to fp32
+    np.testing.assert_array_equal(p_back, p_fp32)

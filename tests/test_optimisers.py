@@ -176,3 +176,53 @@ def test_momentum_mutation_retraces():
         return np.asarray(net.layers[0].learned_params["weights"])
 
     np.testing.assert_allclose(w_flip, run_fresh_flip(), rtol=1e-6)
+
+
+def test_optax_adapter_swap_retraces():
+    """Two OptaxOptimiser instances can share class name AND state treedef
+    while baking different hyperparameters — swapping one in must retrace the
+    fused step, not silently keep the old update rule (instance-keyed
+    hyper_key)."""
+    import optax
+    from dorknet_tpu.models import MNISTNet
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import OptaxOptimiser
+
+    np.random.seed(0)
+    net = MNISTNet("optax-swap")
+    X = np.random.randn(4, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 4)]
+
+    tr = Trainer(net, OptaxOptimiser(net, optax.sgd(0.1)))
+    tr.step(X, y)
+    tr.step(X, y)
+    before = np.asarray(net.layers[0].learned_params["weights"]).copy()
+
+    tr.optimiser = OptaxOptimiser(net, optax.sgd(0.0))  # same treedef, lr 0
+    tr.step(X, y)
+    after = np.asarray(net.layers[0].learned_params["weights"])
+    np.testing.assert_array_equal(before, after)  # lr=0 really applied
+
+
+def test_optimiser_refreshes_layers_after_structure_change():
+    """An optimiser built BEFORE layers exist (or before a checkpoint load)
+    must pick up the new layers — the stale construction-time snapshot used
+    to make update_weights() a silent no-op."""
+    from dorknet_tpu.network import FeedForwardNetwork
+    from dorknet_tpu.layers import DenseLayer, SoftmaxWithCrossEntropy
+    from dorknet_tpu.optimisers import SGD
+
+    np.random.seed(0)
+    net = FeedForwardNetwork("late-layers")
+    opt = SGD(net, 0.5)  # constructed against ZERO layers
+    net.add_layer(DenseLayer("d", incoming_chans=4, output_dim=3))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+
+    X = np.random.randn(8, 4).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[np.random.randint(0, 3, 8)]
+    before = np.asarray(net.layers[0].learned_params["weights"]).copy()
+    net.forward(X, y)
+    net.backward()
+    opt.update_weights()
+    after = np.asarray(net.layers[0].learned_params["weights"])
+    assert np.abs(after - before).max() > 0  # the late layer really updated
