@@ -85,6 +85,34 @@ def use_spmd_safe_grads() -> bool:
     return _SPMD_SAFE_GRADS
 
 
+_SPMD_DW_RULE = "conv"
+
+
+def set_spmd_dw_rule(rule: str):
+    """Select the SPMD-safe depthwise weight-gradient implementation used when
+    ``spmd_safe_grads`` is active:
+
+    - ``"conv"`` (default): a ``jax.experimental.custom_partitioning`` rule —
+      per shard it runs exactly XLA's fast grouped filter-grad conv on the
+      LOCAL data, then an explicit ``lax.psum`` over whatever mesh axes shard
+      the batch. Correct by construction on any mesh (the buggy XLA SPMD
+      grouped-dgrad partitioner is bypassed entirely) at single-device speed —
+      it removes the +39% backward-dw cost of the tap rule (PERF.md round 3).
+    - ``"taps"``: the explicit per-tap multiply-reduce formulation (the
+      reference's fused ``depthwise_backward_direct_cy`` shape, reference:
+      layers/im2col.pyx:143-178). Plain reductions partition correctly on any
+      mesh without custom rules; kept as the fallback and cross-check oracle.
+    """
+    if rule not in ("conv", "taps"):
+        raise ValueError(f"spmd_dw_rule must be 'conv' or 'taps', got {rule!r}")
+    global _SPMD_DW_RULE
+    _SPMD_DW_RULE = rule
+
+
+def get_spmd_dw_rule() -> str:
+    return _SPMD_DW_RULE
+
+
 def trace_signature():
     """Hashable tuple of every global policy read at TRACE time by the ops
     layer (compute dtype, pallas gate, matmul precision, SPMD-safe grad
@@ -93,4 +121,4 @@ def trace_signature():
     stale-trace class CLAUDE.md warns about — confirmed reproducible before
     this key existed)."""
     return (jnp.dtype(_COMPUTE_DTYPE).name, _USE_PALLAS, _MATMUL_PRECISION,
-            _SPMD_SAFE_GRADS)
+            _SPMD_SAFE_GRADS, _SPMD_DW_RULE)

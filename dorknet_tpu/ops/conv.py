@@ -94,42 +94,108 @@ def _depthwise_grouped(x, w_cfhfw, stride, padding):
     ))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _depthwise_core(x, w_cfhfw, stride, padding):
-    return _depthwise_grouped(x, w_cfhfw, stride, padding)
+_DW_CP_CACHE = {}
 
 
-def _depthwise_core_fwd(x, w_cfhfw, stride, padding):
-    return (_depthwise_grouped(x, w_cfhfw, stride, padding), (x, w_cfhfw))
+def _mesh_axes_of(spec_entry):
+    """Flatten a PartitionSpec entry (None | name | tuple of names) to a tuple
+    of mesh-axis names."""
+    if spec_entry is None:
+        return ()
+    if isinstance(spec_entry, (tuple, list)):
+        return tuple(a for a in spec_entry if a is not None)
+    return (spec_entry,)
 
 
-def _depthwise_core_bwd(stride, padding, res, dy):
-    """dx via XLA's transpose conv (its input-grad partitioning is sound);
-    dw as an EXPLICIT per-tap multiply-reduce — the reference's fused
+def _dw_filter_grad_cp(stride, padding):
+    """The SPMD-correct AND fast depthwise filter gradient: a
+    ``custom_partitioning`` rule around XLA's own grouped filter-grad conv.
+
+    Why this exists: XLA SPMD mis-partitions the grouped-conv WEIGHT gradient
+    under mixed batch/param shardings (exactly 2x/0.5x wrong — see
+    ``_depthwise_core_bwd``). The first workaround (the per-tap
+    multiply-reduce, kept as ``spmd_dw_rule="taps"``) partitions correctly but
+    costs +39% backward-dw: XLA emits one reduce fusion per tap, rereading the
+    activation slab nine times. This rule instead BYPASSES the buggy
+    partitioner: per shard it runs exactly the program single-device autodiff
+    runs — ``jax.vjp`` of the local grouped conv, i.e. XLA's fused dgrad over
+    the shard's batch/channels — then one explicit ``lax.psum`` over whatever
+    mesh axes shard the batch dim. Correct by construction on any mesh, at
+    single-device speed.
+
+    Sharding contract (the Shardy rule + ``partition`` callback agree):
+    batch is a reduction factor (psum'd in the lowering), spatial dims are
+    replicated (no halo exchange is attempted), and the CHANNEL dim is a
+    passthrough factor shared by x/dy/w/dw — depthwise is per-channel, so
+    channel-sharded operands (tensor parallelism) keep their sharding with no
+    all-gather and the returned dw stays channel-sharded.
+
+    One ``custom_partitioning`` object per (stride, padding) — they are static
+    properties of the conv; shapes/dtypes specialise per trace as usual.
+    """
+    key = (stride, padding)
+    if key in _DW_CP_CACHE:
+        return _DW_CP_CACHE[key]
+
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _local_dw(x, dy, w_cfhfw):
+        # vjp at w of the SAME primal the forward ran: emits XLA's fused
+        # grouped filter-grad conv (the conv is linear in w, so the point of
+        # linearisation is irrelevant; w supplies shape/dtype/layout)
+        _, pullback = jax.vjp(
+            lambda w: _depthwise_grouped(x, w, stride, padding), w_cfhfw)
+        return pullback(dy)[0]
+
+    @custom_partitioning
+    def dw_cp(x, dy, w_cfhfw):
+        return _local_dw(x, dy, w_cfhfw)
+
+    def _specs_from_x(arg_shapes):
+        x_spec = arg_shapes[0].sharding.spec
+        spec_b = x_spec[0] if len(x_spec) > 0 else None
+        spec_c = x_spec[3] if len(x_spec) > 3 else None
+        return spec_b, spec_c
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        _, spec_c = _specs_from_x(arg_shapes)
+        return NamedSharding(mesh, P(spec_c))
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec_b, spec_c = _specs_from_x(arg_shapes)
+        batch_axes = _mesh_axes_of(spec_b)
+        act_sh = NamedSharding(mesh, P(spec_b, None, None, spec_c))
+        arg_sh = (act_sh, act_sh, NamedSharding(mesh, P(spec_c)))
+        out_sh = NamedSharding(mesh, P(spec_c))
+
+        def lower(x, dy, w_cfhfw):
+            local = _local_dw(x, dy, w_cfhfw)
+            if batch_axes:
+                local = lax.psum(local, batch_axes)
+            return local
+
+        return mesh, lower, out_sh, arg_sh
+
+    dw_cp.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        # factors: b=batch (reduced), i/j + p/q = input/output spatial and
+        # k/l + x/y = filter taps (all replicated), c=channels (passthrough).
+        # need_replication_factors must be listed in first-appearance order.
+        sharding_rule="b i j c, b p q c, c k l -> c x y",
+        reduction_factors=("b",),
+        need_replication_factors=("i", "j", "p", "q", "k", "l", "x", "y"))
+    _DW_CP_CACHE[key] = dw_cp
+    return dw_cp
+
+
+def _dw_taps(x, dy, w_cfhfw, stride, padding):
+    """The explicit per-tap multiply-reduce dw — the reference's fused
     ``depthwise_backward_direct_cy`` formulation (layers/im2col.pyx:143-178).
-
-    The explicit dw is not (only) style: XLA SPMD mis-partitions the grouped
-    conv's WEIGHT gradient under mixed batch/parameter shardings — measured
-    exactly 2x / 0.5x (a wrong mesh-axis factor) on jax 0.9.0's 8-device CPU
-    mesh, surfacing as FSDP training silently diverging from the
-    single-device step (caught by __graft_entry__.dryrun_multichip's
-    equality gate). A plain elementwise product + reduction is partitioned
-    correctly (batch reduce -> psum), on any mesh.
-
-    Cost: XLA emits one reduce fusion per tap (it does not multi-output-fuse
-    the nine shared reads), measured 47.7 vs 27.3 ms on the flagship bf16
-    b256 step — which is why depthwise_conv2d only selects this rule under
-    ``config.spmd_safe_grads`` (distributed traces), keeping the fast XLA
-    dgrad for single-device. Operands stay in the flow dtype (bf16 reads
-    under the production policy) with fp32 accumulation via einsum's
-    preferred_element_type."""
-    x, w_cfhfw = res
+    Plain elementwise products + reductions partition correctly on any mesh
+    with no custom rules; the fallback/oracle for ``_dw_filter_grad_cp``."""
     C, fh, fw = w_cfhfw.shape
-
-    _, x_pullback = jax.vjp(
-        lambda xx: _depthwise_grouped(xx, w_cfhfw, stride, padding), x)
-    dx = x_pullback(dy)[0]
-
     Ho, Wo = dy.shape[1], dy.shape[2]
     xp = jnp.pad(_cast_in(x), ((0, 0), (padding, padding),
                                (padding, padding), (0, 0)))
@@ -141,7 +207,51 @@ def _depthwise_core_bwd(stride, padding, res, dy):
             taps.append(jnp.einsum("bijc,bijc->c", sl, dy,
                                    preferred_element_type=jnp.float32))
     dw = jnp.stack(taps, axis=0).reshape(fh, fw, C).transpose(2, 0, 1)
-    return dx, dw.astype(w_cfhfw.dtype)
+    return dw.astype(w_cfhfw.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _depthwise_core(x, w_cfhfw, stride, padding):
+    return _depthwise_grouped(x, w_cfhfw, stride, padding)
+
+
+def _depthwise_core_fwd(x, w_cfhfw, stride, padding):
+    return (_depthwise_grouped(x, w_cfhfw, stride, padding), (x, w_cfhfw))
+
+
+def _depthwise_core_bwd(stride, padding, res, dy):
+    """SPMD-safe depthwise backward. dx via XLA's transpose conv (its
+    input-grad partitioning is sound). dw must NOT come from XLA autodiff:
+    XLA SPMD mis-partitions the grouped conv's WEIGHT gradient under mixed
+    batch/parameter shardings — measured exactly 2x / 0.5x (a wrong
+    mesh-axis factor) on jax 0.9.0's 8-device CPU mesh, surfacing as FSDP
+    training silently diverging from the single-device step (caught by
+    __graft_entry__.dryrun_multichip's equality gate).
+
+    Two safe dw rules, selected by ``config.set_spmd_dw_rule``:
+
+    - ``"conv"`` (default): ``_dw_filter_grad_cp`` — a custom_partitioning
+      rule that runs XLA's fast fused filter-grad conv per shard and psums
+      over the batch mesh axes. Same speed as the (buggy) autodiff path.
+    - ``"taps"``: ``_dw_taps`` — explicit per-tap multiply-reduce (the
+      reference's fused ``depthwise_backward_direct_cy`` formulation). No
+      custom partitioning rules, but +39% backward-dw: XLA emits one reduce
+      fusion per tap (47.7 vs 27.3 ms on the flagship bf16 b256 step), which
+      is why these rules are only selected under ``config.spmd_safe_grads``
+      (distributed traces); single-device traces keep plain XLA autodiff."""
+    from dorknet_tpu.config import get_spmd_dw_rule
+
+    x, w_cfhfw = res
+
+    _, x_pullback = jax.vjp(
+        lambda xx: _depthwise_grouped(xx, w_cfhfw, stride, padding), x)
+    dx = x_pullback(dy)[0]
+
+    if get_spmd_dw_rule() == "conv":
+        dw = _dw_filter_grad_cp(stride, padding)(x, dy, w_cfhfw)
+    else:
+        dw = _dw_taps(x, dy, w_cfhfw, stride, padding)
+    return dx, dw
 
 
 _depthwise_core.defvjp(_depthwise_core_fwd, _depthwise_core_bwd)

@@ -218,14 +218,20 @@ def test_fsdp_ema_shadow_inherits_sharding():
     assert shard[0] == ema_leaf.shape[0] // 8, (shard, ema_leaf.shape)
 
 
-def test_fsdp_depthwise_grad_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("dw_rule", ["conv", "taps"])
+def test_fsdp_depthwise_grad_matches_single_device(dw_rule):
     """Regression for the XLA-SPMD grouped-conv weight-grad bug (jax 0.9.0):
     under mixed batch/param shardings on a 2-axis mesh, the depthwise dw came
-    out scaled by a wrong mesh-axis factor (exactly 2x/0.5x). The explicit
-    nine-tap dw rule (ops/conv.py:_depthwise_core_bwd) must keep FSDP
-    post-step PARAMS — not just losses — equal to the single-device step."""
+    out scaled by a wrong mesh-axis factor (exactly 2x/0.5x). BOTH safe dw
+    rules (ops/conv.py:_depthwise_core_bwd — the custom_partitioning "conv"
+    rule and the nine-tap "taps" rule) must keep FSDP post-step PARAMS — not
+    just losses — equal to the single-device step."""
     from dorknet_tpu.layers import DepthwiseConvLayer, PointwiseConvLayer
     from dorknet_tpu.parallel import fsdp_param_shardings
+    from dorknet_tpu import config
 
     def build_dw(seed):
         np.random.seed(seed)
@@ -246,27 +252,85 @@ def test_fsdp_depthwise_grad_matches_single_device():
         return net
 
     X, y = batch(16)
-    net_a = build_dw(21)
-    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    prev_rule = config.get_spmd_dw_rule()
+    config.set_spmd_dw_rule(dw_rule)
+    try:
+        net_a = build_dw(21)
+        tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
 
-    # 2-axis mesh (the bug needed the second axis to mis-scale against)
+        # 2-axis mesh (the bug needed the second axis to mis-scale against)
+        mesh = make_mesh({"data": 4, "model": 2})
+        net_b = build_dw(21)
+        tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                       batch_sharding=batch_sharding(mesh, "data"),
+                       param_sharding=fsdp_param_shardings(net_b, mesh,
+                                                           axis="data",
+                                                           min_elems=64))
+        for _ in range(2):
+            la, _ = tr_a.step(X, y)
+            lb, _ = tr_b.step(X, y)
+            np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+        for pa, pb in zip(net_a.gather_params(), net_b.gather_params()):
+            for xa, xb in zip(jax.tree_util.tree_leaves(pa),
+                              jax.tree_util.tree_leaves(pb)):
+                np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                           rtol=5e-3, atol=5e-4)
+    finally:
+        config.set_spmd_dw_rule(prev_rule)
+
+
+def test_spmd_dw_conv_rule_matches_taps_and_autodiff():
+    """The custom_partitioning dw rule (spmd_dw_rule="conv") must agree with
+    the tap-reduction oracle AND single-device XLA autodiff, under every
+    sharding class it claims to handle — including the canary's
+    channel-on-batch-axis repro that XLA's own partitioner gets 2x wrong."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dorknet_tpu.ops.conv import (_depthwise_core, _dw_taps,
+                                      _depthwise_grouped)
+    from dorknet_tpu import config
+
+    C, B, H = 16, 8, 8
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, H, H, C), jnp.float32)
+    w = jnp.asarray(rng.randn(C, 3, 3), jnp.float32)
+    dy_seed = jnp.asarray(rng.randn(B, H, H, C), jnp.float32)
+
+    def dw_of(xx, ww, rule):
+        prev = config.get_spmd_dw_rule()
+        config.set_spmd_dw_rule(rule)
+        try:
+            def f(w_):
+                y = _depthwise_core(xx, w_, 1, 1)
+                return jnp.sum(y * dy_seed)
+            return np.asarray(jax.jit(jax.grad(f))(ww))
+        finally:
+            config.set_spmd_dw_rule(prev)
+
+    # single-device XLA autodiff of the raw grouped conv = ground truth
+    def f_ref(w_):
+        return jnp.sum(_depthwise_grouped(x, w_, 1, 1) * dy_seed)
+    dw_ref = np.asarray(jax.jit(jax.grad(f_ref))(w))
+
+    np.testing.assert_allclose(dw_of(x, w, "conv"), dw_ref, rtol=1e-5)
+    # taps oracle: same math, different fp32 summation order
+    np.testing.assert_allclose(dw_of(x, w, "taps"), dw_ref,
+                               rtol=1e-4, atol=1e-4)
+
     mesh = make_mesh({"data": 4, "model": 2})
-    net_b = build_dw(21)
-    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
-                   batch_sharding=batch_sharding(mesh, "data"),
-                   param_sharding=fsdp_param_shardings(net_b, mesh,
-                                                       axis="data",
-                                                       min_elems=64))
-    for _ in range(2):
-        la, _ = tr_a.step(X, y)
-        lb, _ = tr_b.step(X, y)
-        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
-
-    for pa, pb in zip(net_a.gather_params(), net_b.gather_params()):
-        for xa, xb in zip(jax.tree_util.tree_leaves(pa),
-                          jax.tree_util.tree_leaves(pb)):
-            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
-                                       rtol=5e-3, atol=5e-4)
+    for spec_x, spec_w in [
+        (P("data"), P()),                            # DP
+        (P("data", None, None, "model"), P("model")),  # DP x channel-TP
+        (P(None, None, None, "data"), P("data")),    # the canary's repro class
+        (P(("data", "model")), P()),                 # batch over both axes
+    ]:
+        xs = jax.device_put(x, NamedSharding(mesh, spec_x))
+        ws = jax.device_put(w, NamedSharding(mesh, spec_w))
+        # rtol 1e-4: per-shard partial sums + psum reorder fp32 reductions;
+        # the BUG this guards against is an exact 2x/0.5x scale factor
+        np.testing.assert_allclose(dw_of(xs, ws, "conv"), dw_ref,
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"conv rule wrong under {spec_x}")
 
 
 def test_xla_grouped_conv_dgrad_spmd_bug_canary():
