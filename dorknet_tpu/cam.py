@@ -36,11 +36,12 @@ def _classifier_weights(net, params):
 def _prune_cam_cache(net):
     """The jit cache lives ON the network (bounded by its lifetime); entries
     for older structure versions are dropped. Single-image keys lead with the
-    version int; batched keys lead with the "batch" marker."""
+    version int; batched/gradcam keys lead with a string marker, version
+    second."""
     cache = getattr(net, "_cam_cache", None)
     if cache is None:
         cache = net._cam_cache = {}
-    version_of = lambda k: k[1] if k[0] == "batch" else k[0]  # noqa: E731
+    version_of = lambda k: k[1] if isinstance(k[0], str) else k[0]  # noqa: E731
     for k in [k for k in cache if version_of(k) != net._version]:
         del cache[k]
     return cache
@@ -160,6 +161,109 @@ def compute_cam_scores_batch(net, X, top_k=3, terminal_layer_name="res8",
     scores, top, cam = cache[key](net.gather_params(), net.gather_states(),
                                   jnp.asarray(X, jnp.float32))
     return scores, cam
+
+
+def _tap_index(net, terminal_layer_name):
+    for i, l in enumerate(net.layers):
+        if l.layer_name == terminal_layer_name:
+            return i
+    raise ValueError(
+        "terminal_layer_name '{}' matches no layer (have: {})".format(
+            terminal_layer_name, [l.layer_name for l in net.layers]))
+
+
+def _build_gradcam_batch_fn(net, top_k, terminal_layer_name, out_size):
+    from dorknet_tpu.ops.loss import softmax_probs
+
+    tap_idx = _tap_index(net, terminal_layer_name)
+
+    def fn(params, states, X):
+        x = to_nhwc(X)
+        # segment 1: trunk up to (and including) the tap, test mode
+        for i in range(tap_idx + 1):
+            x, _ = net.layers[i].fapply(params[i], states[i], x, False)
+        feats = x  # (N, H, W, C)
+
+        def rest(f):
+            y = f
+            for i in range(tap_idx + 1, len(net.layers)):
+                y, _ = net.layers[i].fapply(params[i], states[i], y, False)
+            return y  # (N, num_classes) pre-softmax
+
+        out, pullback = jax.vjp(rest, feats)
+        scores = softmax_probs(out)
+        top = jnp.argsort(scores, axis=1)[:, ::-1][:, :top_k]  # (N, k)
+
+        feats32 = feats.astype(jnp.float32)
+
+        def one_k(j):
+            # per-image cotangent selecting image n's OWN top-j class; test
+            # mode is batchwise independent, so pullback(ct)[n] is exactly
+            # d out[n, top[n, j]] / d feats[n]
+            ct = jax.nn.one_hot(top[:, j], out.shape[1], dtype=out.dtype)
+            dA = pullback(ct)[0].astype(jnp.float32)  # (N, H, W, C)
+            alpha = jnp.mean(dA, axis=(1, 2), keepdims=True)  # (N,1,1,C)
+            return jnp.sum(alpha * feats32, axis=-1)  # (N, H, W)
+
+        cam = jnp.stack([one_k(j) for j in range(top.shape[1])], axis=1)
+        N, K = cam.shape[:2]
+        cam = jax.image.resize(cam, (N, K, out_size, out_size),
+                               method="bilinear")
+        cam = jnp.maximum(cam, 0)
+        cam = cam - jnp.min(cam, axis=(2, 3), keepdims=True)
+        mx = jnp.max(cam, axis=(2, 3), keepdims=True)
+        cam = jnp.where(mx > 0, cam / mx, cam)
+        return scores, top, cam
+
+    return jax.jit(fn)
+
+
+def compute_gradcam_scores_batch(net, X, top_k=3, terminal_layer_name="res8",
+                                 out_size=225):
+    """Grad-CAM (Selvaraju et al. 2017), batched, one jitted program.
+
+    Beyond-reference extension: plain CAM (above) is only valid when the tap
+    feeds GAP -> Dense directly — it projects the classifier weights onto the
+    tapped maps. Grad-CAM weights each channel by the spatial mean of
+    d(class score)/d(activation), which is exact for ANY tap depth and any
+    head. At a pre-GAP tap of a GAP+Dense head the two coincide (the dense
+    row IS that gradient, up to the 1/(H*W) factor that min-max normalisation
+    cancels) — pinned by tests/test_examples_integration.py.
+
+    Differences from ``compute_cam_scores_batch`` (which mirrors the
+    reference's semantics, reference CAM example :13-32): the tap runs in
+    TEST mode (running statistics — no batch-of-one statistics needed, the
+    standard Grad-CAM setting) and gradients flow through the post-tap
+    layers instead of reading the classifier weights.
+
+    X (N,3,H,W). Returns (scores (N,num_classes), cams (N,top_k,S,S)) with
+    each image's maps ordered by its own descending class score, relu'd and
+    min-max normalised to [0,1].
+    """
+    from dorknet_tpu.config import trace_signature
+
+    net._require_bn_initialized("compute_gradcam_scores_batch")
+    _tap_index(net, terminal_layer_name)  # fail loudly before tracing
+    key = ("gradcam", net._version, top_k, terminal_layer_name, out_size,
+           trace_signature(),
+           tuple(l._trace_signature() for l in net.layers))
+    cache = _prune_cam_cache(net)
+    if key not in cache:
+        cache[key] = _build_gradcam_batch_fn(net, top_k, terminal_layer_name,
+                                             out_size)
+    scores, top, cam = cache[key](net.gather_params(), net.gather_states(),
+                                  jnp.asarray(X, jnp.float32))
+    return scores, cam
+
+
+def compute_gradcam_scores(net, X, top_k=3, terminal_layer_name="res8",
+                           out_size=225):
+    """Single-image Grad-CAM: X (1,3,H,W) -> (scores (num_classes,),
+    cams (top_k, S, S)). See compute_gradcam_scores_batch."""
+    scores, cams = compute_gradcam_scores_batch(
+        net, X, top_k=top_k, terminal_layer_name=terminal_layer_name,
+        out_size=out_size)
+    return scores[0], cams[0]
 
 
 def returnCAM(feature_conv, weight_softmax, class_idx, size_upsample=(225, 225)):

@@ -181,6 +181,73 @@ def test_cam_pipeline_on_trained_tiny_net(tmp_path):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_gradcam_matches_cam_at_pregap_tap_and_works_at_deep_taps():
+    """Grad-CAM (beyond-reference): at a pre-GAP tap of a GAP+Dense head the
+    gradient weights ARE the classifier rows (up to the 1/(H*W) factor the
+    min-max normalisation cancels), so Grad-CAM must reproduce plain CAM
+    computed on the same TEST-mode features. At an earlier tap — where plain
+    CAM is not even defined — it must still produce normalised maps."""
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.layers import (ConvLayer, BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.cam import (compute_gradcam_scores,
+                                 compute_gradcam_scores_batch, returnCAM)
+
+    np.random.seed(1)
+    net = FeedForwardNetwork("gradcam-net")
+    net.add_layer(ConvLayer("conv1", filter_block_shape=(8, 3, 3, 3),
+                            with_bias=False))
+    net.add_layer(BatchNormLayer("bn1", incoming_chans=8))
+    net.add_layer(ReLu("early"))
+    net.add_layer(ConvLayer("conv2", filter_block_shape=(8, 8, 3, 3),
+                            with_bias=False))
+    net.add_layer(BatchNormLayer("bn2", incoming_chans=8))
+    net.add_layer(ReLu("res8"))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("dense1", incoming_chans=8, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    X = np.random.randn(8, 3, 16, 16).astype(np.float32)
+    yoh = np.eye(4, dtype=np.float32)[np.random.randint(0, 4, 8)]
+    for _ in range(3):
+        tr.step(X, yoh)
+
+    scores, cams = compute_gradcam_scores(net, X[:1], top_k=3,
+                                          terminal_layer_name="res8",
+                                          out_size=32)
+    assert np.asarray(scores).shape == (4,)
+    assert np.asarray(cams).shape == (3, 32, 32)
+    c = np.asarray(cams)
+    assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
+
+    # equivalence with the CAM formula on the SAME (test-mode) features
+    _, feats = net.forward(X[:1], None, test_mode=True,
+                           terminal_layer_name="res8")
+    w = np.asarray(net.layers[-1].learned_params["weights"]).T  # (4, 8)
+    best = np.argsort(np.asarray(scores))[::-1][:3]
+    cam_ref = returnCAM(np.asarray(feats), w, best, size_upsample=(32, 32))
+    np.testing.assert_allclose(np.stack(cam_ref), c, rtol=1e-3, atol=1e-3)
+
+    # deep tap (pre-second-conv) — plain CAM is invalid here, Grad-CAM isn't
+    s_e, c_e = compute_gradcam_scores_batch(net, X[:4], top_k=2,
+                                            terminal_layer_name="early",
+                                            out_size=32)
+    assert np.asarray(c_e).shape == (4, 2, 32, 32)
+    ce = np.asarray(c_e)
+    assert np.isfinite(ce).all() and ce.min() >= 0.0 and ce.max() <= 1.0 + 1e-5
+    # scores must agree with the pre-GAP-tap call (same test-mode forward)
+    s_b = np.asarray(s_e)
+    np.testing.assert_allclose(
+        s_b[0], np.asarray(scores), rtol=1e-5, atol=1e-6)
+
+    # bad tap name fails loudly before tracing
+    with pytest.raises(ValueError, match="matches no layer"):
+        compute_gradcam_scores(net, X[:1], terminal_layer_name="nope")
+
+
 def test_graft_entry_compiles_on_cpu():
     """entry() must stay jittable (the driver compile-checks it single-chip)."""
     import jax
