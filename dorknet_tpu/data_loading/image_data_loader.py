@@ -73,13 +73,21 @@ class ImageDataLoader:
                  classes_from_dir_structure=True, num_workers=1,
                  class_balance=True, mixup_range_tuple=None,
                  start_thread=True, use_native_loader=False,
-                 emit_hwc_uint8=False):
+                 emit_hwc_uint8=False, data_shard=None):
         """emit_hwc_uint8=True is the on-device-augmentation mode: the host
         only decodes + resizes to the preprocessor's precrop size and emits
         (B, precrop_h, precrop_w, 3) uint8 BGR batches; crop / flip / HSV /
         rotation / mixup then run as ONE jitted program on the accelerator
         (data_loading/device_augment.py:train_pipeline). mixup_range_tuple is
-        ignored in this mode (mixup moves on device too)."""
+        ignored in this mode (mixup moves on device too).
+
+        data_shard=(process_index, process_count) restricts this loader to a
+        deterministic 1/process_count shard of every class's (sorted) file
+        list — the multi-host recipe (parallel/multihost.py): each host
+        constructs its loader with its own process index, feeds its local
+        rows, and the shards are disjoint with union = the full dataset.
+        Labels are assigned from the FULL directory listing, so class ids
+        agree across hosts regardless of which files a shard holds."""
         self.keep_loading = True
         self.preprocessor = preprocessor
         self.emit_hwc_uint8 = emit_hwc_uint8
@@ -127,20 +135,36 @@ class ImageDataLoader:
         self.class_name_num_map, per_class_paths, self.samples = (
             discover_dataset(base_folder))
         self.class_names = list(self.class_name_num_map)
+        if data_shard is not None:
+            shard_idx, shard_count = data_shard
+            if not (isinstance(shard_idx, int) and isinstance(shard_count, int)
+                    and shard_count >= 1 and 0 <= shard_idx < shard_count):
+                raise ValueError(
+                    "data_shard must be (process_index, process_count) with "
+                    "0 <= index < count, got {!r}".format(data_shard))
+            # per-class striding keeps every shard class-balanced (to within
+            # one image) and the shards disjoint with union = full dataset;
+            # sorted file lists make the split deterministic across hosts
+            per_class_paths = {n: p[shard_idx::shard_count]
+                               for n, p in per_class_paths.items()}
+            self.samples = [(n, path) for n in self.class_names
+                            for path in per_class_paths[n]]
         # Fail at construction, not in the producer: an empty dataset (or, in
         # class-balanced mode, any empty class) would make the producer's
         # cycle raise StopIteration forever — an unbounded retry loop spamming
         # stderr while pull_batch blocks on an empty queue.
+        shard_note = ("" if data_shard is None else
+                      " (after data_shard={} striding)".format(data_shard))
         if not self.samples:
             raise ValueError(
                 "no images found under {} (expected <class>/images/* "
-                "layout)".format(base_folder))
+                "layout){}".format(base_folder, shard_note))
         if class_balance:
             empty = [n for n, p in per_class_paths.items() if not p]
             if empty:
                 raise ValueError(
-                    "class_balance=True but these classes have no images: "
-                    "{}".format(empty))
+                    "class_balance=True but these classes have no images{}: "
+                    "{}".format(shard_note, empty))
         # class-balanced mode: round-robin over classes, cycling each
         # class's own path list independently
         self.class_cycle = itertools.cycle(

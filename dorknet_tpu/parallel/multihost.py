@@ -20,8 +20,12 @@ Pod launch recipe (v5e-16, 4 hosts x 4 chips):
     #   multihost.initialize("host0:8476", num_processes=4, process_id=ID)
     #   mesh = make_mesh({"data": jax.device_count()})   # GLOBAL devices
     #   start, per = multihost.local_batch_slice(GLOBAL_BATCH)
-    #   each host loads rows [start, start+per) and builds the global array
-    #   via jax.make_array_from_process_local_data(sharding, local_rows)
+    #   loader = ImageDataLoader(..., batch_size=per,
+    #                            data_shard=(jax.process_index(),
+    #                                        jax.process_count()))
+    #   each host pulls batches from its own DISJOINT file shard and builds
+    #   the global array via
+    #   jax.make_array_from_process_local_data(sharding, local_rows)
     #   if multihost.is_main_process(): save checkpoints / write logs
 Collectives ride ICI within a slice and DCN across slices; nothing else in
 the training loop changes.

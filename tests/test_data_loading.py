@@ -165,6 +165,48 @@ def test_shuffle_indices_protocol(image_dir):
         loader.stop_thread()
 
 
+def test_loader_data_shard_disjoint_union(image_dir):
+    """data_shard=(idx, count) — the multi-host per-process file shard: the
+    shards are class-balanced, pairwise disjoint, their union is the full
+    dataset, and labels agree across shards (assigned from the FULL
+    listing)."""
+    from dorknet_tpu.data_loading.image_data_loader import ImageDataLoader
+    from dorknet_tpu.data_loading.image_preprocessor import ImagePreprocessor
+
+    prep = ImagePreprocessor(image_size=(32, 32))
+    full = ImageDataLoader(image_dir, 2, prep, start_thread=False)
+    shards = [ImageDataLoader(image_dir, 2, prep, start_thread=False,
+                              data_shard=(i, 2)) for i in range(2)]
+
+    all_paths = {p for _, p in full.samples}
+    shard_paths = [{p for _, p in s.samples} for s in shards]
+    assert shard_paths[0] & shard_paths[1] == set()
+    assert shard_paths[0] | shard_paths[1] == all_paths
+    for s in shards:
+        assert s.class_name_num_map == full.class_name_num_map
+        # class-balanced to within one image (4 images/class, 2 shards -> 2)
+        per_class = {}
+        for n, _ in s.samples:
+            per_class[n] = per_class.get(n, 0) + 1
+        assert set(per_class.values()) == {2}
+
+    # a shard can actually produce batches
+    loader = ImageDataLoader(image_dir, 4, prep, data_shard=(0, 2))
+    try:
+        X, y, one_hot = next(loader.pull_batch(1))
+        assert X.shape[0] == 4 and one_hot.shape == (4, 3)
+    finally:
+        loader.stop_thread()
+
+    # over-sharding a class empties it -> loud constructor error
+    with pytest.raises(ValueError, match="no images"):
+        ImageDataLoader(image_dir, 2, prep, start_thread=False,
+                        data_shard=(4, 5), class_balance=False)
+    with pytest.raises(ValueError, match="data_shard"):
+        ImageDataLoader(image_dir, 2, prep, start_thread=False,
+                        data_shard=(2, 2))
+
+
 def test_mnist_epoch_generator_shapes():
     X = np.random.rand(100, 784).astype(np.float32)
     y = np.random.randint(0, 10, 100)
