@@ -647,6 +647,58 @@ def bench_pallas_check(B=4, H=14, C=128):
     return ok, max_err
 
 
+def bench_spmd_dw_check(B=8, H=14, C=64):
+    """On-chip correctness of the SPMD-safe depthwise weight-gradient rules
+    (ops/conv.py:_depthwise_core_bwd): the custom_partitioning "conv" rule
+    and the nine-tap "taps" fallback must both match single-device XLA
+    autodiff. The sharded-equality gates run on the virtual CPU mesh
+    (test_parallel); THIS validates the custom_partitioning lowering on the
+    real TPU backend, where the partition callback takes the
+    single-shard/no-mesh path. Perf A/B (conv == autodiff, taps +39%) lives
+    in scripts/bench_spmd_dw.py / PERF.md round-3 item 0."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu import config
+    from dorknet_tpu.ops.conv import _depthwise_core, _depthwise_grouped
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, H, C), jnp.float32)
+    w = jnp.asarray(rng.randn(C, 3, 3), jnp.float32)
+
+    def dw_of(core, rule=None):
+        prev = config.get_spmd_dw_rule()
+        if rule is not None:
+            config.set_spmd_dw_rule(rule)
+        try:
+            return np.asarray(jax.jit(jax.grad(
+                lambda w_: jnp.sum(core(x, w_, 1, 1) ** 2)))(w))
+        finally:
+            config.set_spmd_dw_rule(prev)
+
+    # fp32 oracle must be TRUE fp32 (same pinning as bench_pallas_check):
+    # the TPU's default conv precision is a single bf16 MXU pass, ~1.6e-4
+    # rel err here — that is oracle noise, not a rule defect
+    prev_prec = config.get_matmul_precision()
+    dorknet_tpu.set_matmul_precision("highest")
+    try:
+        ref = dw_of(_depthwise_grouped)
+        ok, max_err = True, 0.0
+        for rule in ("conv", "taps"):
+            got = dw_of(_depthwise_core, rule)
+            err = (float(np.abs(got - ref).max())
+                   / max(1.0, float(np.abs(ref).max())))
+            max_err = max(max_err, err)
+            if err > 1e-4 or not np.isfinite(got).all():
+                ok = False
+                log(f"  spmd dw rule '{rule}' MISMATCH vs autodiff: "
+                    f"rel {err:.2e}")
+    finally:
+        dorknet_tpu.set_matmul_precision(prev_prec)
+    log(f"spmd-safe dw check: {'OK' if ok else 'FAILED'} "
+        f"(max rel err {max_err:.2e}, backend {jax.default_backend()})")
+    return ok, max_err
+
+
 def main():
     import os
     import jax.numpy as jnp
@@ -730,6 +782,18 @@ def main():
             results["pallas_ok"] = False
     else:
         log("skipping pallas check (time budget)")
+
+    # SPMD-safe dw rules vs autodiff on the real backend (3 tiny compiles)
+    if time_left() > 45:
+        try:
+            ok, err = bench_spmd_dw_check()
+            results["spmd_dw_ok"] = bool(ok)
+            results["spmd_dw_max_rel_err"] = float(f"{err:.3g}")
+        except Exception as e:
+            log(f"spmd dw check failed: {e}")
+            results["spmd_dw_ok"] = False
+    else:
+        log("skipping spmd dw check (time budget)")
 
     if time_left() > 120:
         try:

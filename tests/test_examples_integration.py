@@ -290,6 +290,8 @@ def test_bench_functions_smoke():
     assert ips2 > 0
     host, dev = bench.bench_aug_pipeline(n_images=8, image=32)
     assert host > 0 and dev > 0
+    ok, err = bench.bench_spmd_dw_check(B=2, H=8, C=8)
+    assert ok and err < 1e-4
 
 
 def test_bench_stretch_models_smoke():
