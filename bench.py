@@ -97,6 +97,10 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
         from dorknet_tpu.models import MobileNetV3Small
 
         net = MobileNetV3Small("bench-mnv3", num_classes=classes)
+    elif model == "efficientnet_lite0":
+        from dorknet_tpu.models import EfficientNetLite0
+
+        net = EfficientNetLite0("bench-enl0", num_classes=classes)
     elif model == "resnet50":
         net = ResNet50("bench-r50", num_classes=classes)
     else:
@@ -754,7 +758,7 @@ def main():
     # stretch zoo (224px, b128, bf16 production policy; fp32 numbers are in
     # PERF.md — not the headline metric). Short trials: the point is a
     # driver-artifact number, PERF.md holds the long-form captures.
-    for m in ("mobilenet_v2", "resnet50", "mobilenet_v3"):
+    for m in ("mobilenet_v2", "resnet50", "mobilenet_v3", "efficientnet_lite0"):
         if time_left() > 60:
             try:
                 ips, dev_ips = bench_train(128, steps=5, trials=1, image=224,

@@ -301,7 +301,7 @@ def test_bench_stretch_models_smoke():
     import jax.numpy as jnp
     import bench
 
-    for m in ("mobilenet_v2", "resnet50", "mobilenet_v3"):
+    for m in ("mobilenet_v2", "resnet50", "mobilenet_v3", "efficientnet_lite0"):
         ips, _dev = bench.bench_train(4, steps=1, trials=1, image=32,
                                       classes=5, model=m,
                                       compute_dtype=jnp.bfloat16)

@@ -119,6 +119,50 @@ def test_mobilenet_v3_convergence_smoke():
                                steps=60, lr=2e-3, signal=0.5)
 
 
+def test_efficientnet_lite0(tmp_path):
+    """EfficientNet-Lite0: MBConv trunk (3x3 + 5x5 depthwise, linear
+    bottlenecks) through one step, test-mode forward and h5+json round-trip;
+    the lite rules pin stem=32 / head=1280 channels unscaled."""
+    from dorknet_tpu.models import EfficientNetLite, EfficientNetLite0
+
+    np.random.seed(0)
+    net = EfficientNetLite0("enl0", num_classes=6)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 6, tmp_path)
+
+    # lite scaling rules: width scales interior stages only, depth exempts
+    # the first and last stage
+    wide = EfficientNetLite("enl-w", num_classes=3, width_mult=1.4,
+                            depth_mult=1.0)
+    names = [l.layer_name for l in wide.layers]
+    assert wide.layers[names.index("stem")].learned_params[
+        "weights"].shape[0] == 32  # unscaled stem
+    assert wide.layers[names.index("head")].learned_params[
+        "weights"].shape[0] == 1280  # unscaled head
+    deep = EfficientNetLite("enl-d", num_classes=3, width_mult=1.0,
+                            depth_mult=2.0)
+    # first stage (1 block) and last stage (1 block) unscaled, interior
+    # stages double: 1 + 2*(2+2+3+3+4) + 1 = 30 blocks vs B0's 16
+    def count_blocks(net_):
+        seen = set()
+        for l in net_.layers:
+            nm = l.layer_name
+            if nm.startswith("mb"):
+                seen.add(nm.split("_")[0])
+        return len(seen)
+    assert count_blocks(wide) == 16
+    assert count_blocks(deep) == 30
+
+
+def test_efficientnet_lite_convergence_smoke():
+    from dorknet_tpu.models import EfficientNetLite
+
+    np.random.seed(0)
+    _converges_on_channel_task(EfficientNetLite("enl-conv", num_classes=4,
+                                                width_mult=0.25), 4,
+                               steps=50, lr=5e-4, signal=0.5)
+
+
 def test_squeeze_excite_layer_semantics():
     """SE math: with zeroed FC weights the gate is hardsigmoid(bias)=0.5
     everywhere -> output is exactly x/2; gradients flow to all four params."""
