@@ -7,6 +7,8 @@ come from the synthetic blob-colour task of examples/synthetic_cam_demo.py:
 
 * ``demo_assets/inputs/``    — sample input images (class = blob colour)
 * ``demo_assets/cam/``       — top-1 CAM JET overlays (the CAM example's flow)
+* ``demo_assets/gradcam/``   — top-1 Grad-CAM overlays (the beyond-reference
+  gradient-weighted maps, valid at any tap depth — cam.py)
 * ``demo_assets/annotated/`` — evaluate-style top-1 label annotation
   (the evaluate example's cv2.putText output, reference evaluate :34-49)
 
@@ -23,7 +25,7 @@ import numpy as np
 
 from dorknet_tpu.network import Trainer
 from dorknet_tpu.optimisers import SGDMomentum
-from dorknet_tpu.cam import compute_cam_scores
+from dorknet_tpu.cam import compute_cam_scores, compute_gradcam_scores
 from examples.synthetic_cam_demo import build_net, make_batch
 
 CLASS_NAMES = {0: "blue_blob", 1: "green_blob", 2: "red_blob", 3: "teal_blob"}
@@ -38,7 +40,7 @@ def main(out_dir="demo_assets", steps=60, seed=0, n_images=4):
         X, _, oh = make_batch(rng)
         tr.step(X, oh)
 
-    for sub in ("inputs", "cam", "annotated"):
+    for sub in ("inputs", "cam", "gradcam", "annotated"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     X, y, _ = make_batch(rng, B=n_images)
@@ -60,6 +62,19 @@ def main(out_dir="demo_assets", steps=60, seed=0, n_images=4):
                                  .format(i, CLASS_NAMES[int(y[i])],
                                          CLASS_NAMES[pred])),
                     np.uint8(255 * blended / blended.max()))
+
+        g_scores, gcams = compute_gradcam_scores(
+            net, X[i:i + 1], top_k=1, terminal_layer_name="features",
+            out_size=img.shape[0])
+        g_heat = cv2.applyColorMap(np.uint8(255 * np.asarray(gcams)[0]),
+                                   cv2.COLORMAP_JET).astype(np.float32)
+        g_blend = g_heat + img.astype(np.float32)
+        cv2.imwrite(os.path.join(out_dir, "gradcam",
+                                 "img{}_true-{}_pred-{}.png".format(
+                                     i, CLASS_NAMES[int(y[i])],
+                                     CLASS_NAMES[int(np.argmax(
+                                         np.asarray(g_scores)))])),
+                    np.uint8(255 * g_blend / g_blend.max()))
 
         ann = cv2.resize(img, (192, 192), interpolation=cv2.INTER_NEAREST)
         cv2.putText(ann, CLASS_NAMES[pred], (8, 24),

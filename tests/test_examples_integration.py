@@ -358,7 +358,8 @@ def test_make_demo_assets_regenerates(tmp_path):
 
     correct = main(out_dir=str(tmp_path), steps=40, seed=0)
     assert correct >= 3
-    for sub, n in (("inputs", 4), ("cam", 4), ("annotated", 4)):
+    for sub, n in (("inputs", 4), ("cam", 4), ("gradcam", 4),
+                   ("annotated", 4)):
         files = list((tmp_path / sub).iterdir())
         assert len(files) == n, (sub, files)
         import cv2
@@ -367,7 +368,7 @@ def test_make_demo_assets_regenerates(tmp_path):
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     committed = os.path.join(repo_root, "demo_assets")
-    for sub in ("inputs", "cam", "annotated"):
+    for sub in ("inputs", "cam", "gradcam", "annotated"):
         assert len(os.listdir(os.path.join(committed, sub))) >= 4, (
             "committed demo_assets/{} missing — run "
             "python -m examples.make_demo_assets".format(sub))
