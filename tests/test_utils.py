@@ -336,3 +336,44 @@ def test_resume_rejects_checkpoints_without_json(tmp_path):
                      base_dir=str(tmp_path))
     with pytest.raises(RuntimeError, match="no structure json"):
         exp.resume_or_init()
+
+
+def test_lr_schedules():
+    """StepDecay reproduces the dogs example's imperative trajectory;
+    CosineDecay endpoints/floor; Warmup ramps into the wrapped schedule;
+    apply() pushes the value into the optimiser."""
+    from dorknet_tpu.utils.schedules import StepDecay, CosineDecay, Warmup
+    from dorknet_tpu.network import FeedForwardNetwork
+    from dorknet_tpu.layers import DenseLayer, SoftmaxWithCrossEntropy
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    # the dogs example: lr x0.5 at epochs 16/20/25
+    # (reference examples/imagenet_dogs_225_resnet_18_depsep.py:213-215)
+    sd = StepDecay(0.015, (16, 20, 25), 0.5)
+    assert sd(0) == 0.015 and sd(15) == 0.015
+    assert np.isclose(sd(16), 0.0075) and np.isclose(sd(20), 0.00375)
+    assert np.isclose(sd(30), 0.001875)
+    # dict form with per-milestone factors (MNIST's x0.1 every 5)
+    sd2 = StepDecay(0.01, {5: 0.1, 10: 0.1})
+    assert np.isclose(sd2(7), 1e-3) and np.isclose(sd2(12), 1e-4)
+
+    cd = CosineDecay(0.1, total=10, min_frac=0.01)
+    assert np.isclose(cd(0), 0.1)
+    assert np.isclose(cd(10), 0.001) and np.isclose(cd(99), 0.001)
+    vals = [cd(t) for t in range(11)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone
+
+    w = Warmup(CosineDecay(0.1, total=10), warmup=4)
+    ramp = [w(t) for t in range(4)]
+    assert all(a < b for a, b in zip(ramp, ramp[1:]))  # strictly rising
+    # ramp tops out at schedule(warmup); past warmup it's the schedule itself
+    assert np.isclose(w(3), CosineDecay(0.1, 10)(4))
+    assert w(5) == CosineDecay(0.1, 10)(5)
+
+    net = FeedForwardNetwork("lrs")
+    net.add_layer(DenseLayer("d", incoming_chans=4, output_dim=2))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+    opt = SGDMomentum(net, 0.015, 0.9)
+    lr = sd.apply(opt, 20)
+    assert np.isclose(lr, 0.00375)
+    assert np.isclose(opt.learning_rate, 0.00375)
