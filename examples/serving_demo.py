@@ -9,6 +9,7 @@ serving ladder and reports latency/agreement for each rung:
   3. InferenceRunner(fold_bn=True)      (conv<-BN folding)
   4. QuantizedInferenceRunner           (int8 MXU, calibrated scales)
   5. ...serving the EMA weights         (trainer.ema_network())
+  6. BatchingServer                     (dynamic batching front-end)
 
 Run:  python -m examples.serving_demo
 
@@ -107,6 +108,17 @@ def main(steps=60):
     ema_top1 = time_server("EMA weights + fold_bn", re.predict_probs,
                            X_eval, ref)
     print("  EMA eval accuracy: {:.3f}".format((ema_top1 == y_eval).mean()))
+
+    # 6) deployment front-end: concurrent single-image callers coalesced
+    # into the one compiled batch shape (BatchingServer)
+    from dorknet_tpu.network import BatchingServer
+
+    with BatchingServer(rf, max_wait_ms=100) as srv:
+        futs = [srv.submit(X_eval[i]) for i in range(64)]
+        batched = np.stack([f.result(timeout=60) for f in futs])
+        print("BatchingServer: 64 concurrent singles -> {} device "
+              "dispatch(es); top-1 agreement with plain forward: {:.3f}"
+              .format(srv.dispatches, (batched.argmax(1) == ref).mean()))
 
 
 if __name__ == "__main__":

@@ -408,3 +408,4 @@ def test_serving_demo_smoke(capsys):
     out = capsys.readouterr().out
     assert "QuantizedInferenceRunner(int8)" in out
     assert "EMA" in out
+    assert "BatchingServer" in out
