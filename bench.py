@@ -739,6 +739,24 @@ def main():
     except Exception as e:
         log(f"interleaved fp32/bf16 failed: {e}")
 
+    # b128 flagship: the batch-size sweep (PERF.md round-3) found b128 is
+    # the per-image throughput sweet spot (+9% device vs b256, with a cliff
+    # at b160+); capture it as a headline candidate
+    if time_left() > 60:
+        try:
+            ips, dev_ips = bench_train(128, steps=8, trials=2, image=225,
+                                       classes=120, deadline=deadline - 20,
+                                       compute_dtype=jnp.bfloat16)
+            results["train_ips_b128_bf16"] = round(ips, 1)
+            consider(ips, "wall")
+            if dev_ips:
+                results["train_ips_b128_bf16_device"] = round(dev_ips, 1)
+                consider(dev_ips, "device")
+        except Exception as e:
+            log(f"b128 flagship failed: {e}")
+    else:
+        log("skipping b128 flagship (time budget)")
+
     # Serving ladder (BN initialised — _init_bn): bf16 fold_bn + int8
     if time_left() > 60:
         try:
@@ -801,11 +819,13 @@ def main():
 
     if time_left() > 120:
         try:
-            ips, dev_ips = bench_train_multistep(256, k=4)
-            results["train_ips_b256_multistep_bf16"] = round(ips, 1)
+            # b128 k4: the fastest measured training configuration
+            # (sweet-spot batch + dispatch amortisation, PERF.md round-3)
+            ips, dev_ips = bench_train_multistep(128, k=4)
+            results["train_ips_b128_multistep_bf16"] = round(ips, 1)
             consider(ips, "wall")
             if dev_ips:
-                results["train_ips_b256_multistep_bf16_device"] = round(dev_ips, 1)
+                results["train_ips_b128_multistep_bf16_device"] = round(dev_ips, 1)
                 consider(dev_ips, "device")
         except Exception as e:
             log(f"multi_step failed: {e}")
