@@ -741,11 +741,15 @@ def main():
 
     # b128 flagship: the batch-size sweep (PERF.md round-3) found b128 is
     # the per-image throughput sweet spot (+9% device vs b256, with a cliff
-    # at b160+); capture it as a headline candidate
+    # at b160+); capture it as a headline candidate. Capped at 50% of the
+    # budget so a degraded window can't starve the serving/stretch/check
+    # sections below (same discipline as the 35% interleaved-headline cap).
     if time_left() > 60:
         try:
             ips, dev_ips = bench_train(128, steps=8, trials=2, image=225,
-                                       classes=120, deadline=deadline - 20,
+                                       classes=120,
+                                       deadline=min(deadline - 30,
+                                                    t0 + 0.5 * budget),
                                        compute_dtype=jnp.bfloat16)
             results["train_ips_b128_bf16"] = round(ips, 1)
             consider(ips, "wall")

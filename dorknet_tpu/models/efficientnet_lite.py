@@ -17,13 +17,13 @@ import math
 
 from dorknet_tpu.network import FeedForwardNetwork
 from dorknet_tpu.layers import (
-    ConvLayer, DepthwiseConvLayer, PointwiseConvLayer, DenseLayer,
-    BatchNormLayer, ReLu6, IdentityLayer, GlobalAveragePoolingLayer,
-    ResidualBlock, SoftmaxWithCrossEntropy,
+    ConvLayer, PointwiseConvLayer, DenseLayer, BatchNormLayer, ReLu6,
+    GlobalAveragePoolingLayer, SoftmaxWithCrossEntropy,
 )
 from dorknet_tpu.regularisers.l2 import l2
 
-from dorknet_tpu.models.mobilenet_v2 import _make_divisible
+from dorknet_tpu.models.mobilenet_v2 import (_make_divisible,
+                                             add_inverted_residual)
 
 
 class EfficientNetLite(FeedForwardNetwork):
@@ -41,37 +41,8 @@ class EfficientNetLite(FeedForwardNetwork):
 
     def _mbconv(self, name, in_ch, out_ch, kernel, stride, expansion,
                 reg=0.0001):
-        hidden = in_ch * expansion
-        layer_list = []
-        if expansion != 1:
-            layer_list += [
-                PointwiseConvLayer(name + "_expand",
-                                   filter_block_shape=(hidden, in_ch),
-                                   with_bias=False,
-                                   weight_regulariser=l2(reg)),
-                BatchNormLayer(name + "_expand_bn", incoming_chans=hidden),
-                ReLu6(name + "_expand_relu6"),
-            ]
-        layer_list += [
-            DepthwiseConvLayer(name + "_dw",
-                               filter_block_shape=(hidden, kernel, kernel),
-                               stride=stride, padding=kernel // 2,
-                               with_bias=False),
-            BatchNormLayer(name + "_dw_bn", incoming_chans=hidden),
-            ReLu6(name + "_dw_relu6"),
-            PointwiseConvLayer(name + "_project",
-                               filter_block_shape=(out_ch, hidden),
-                               with_bias=False, weight_regulariser=l2(reg)),
-            BatchNormLayer(name + "_project_bn", incoming_chans=out_ch),
-        ]
-        if stride == 1 and in_ch == out_ch:
-            self.add_layer(ResidualBlock(name, layer_list=layer_list,
-                                         skip_projection=None,
-                                         post_skip_activation=IdentityLayer(
-                                             name + "_join")))
-        else:
-            for layer in layer_list:
-                self.add_layer(layer)
+        add_inverted_residual(self, name, in_ch, out_ch, stride, expansion,
+                              kernel=kernel, reg=reg)
 
     def __init__(self, name, num_classes=1000, width_mult=1.0,
                  depth_mult=1.0, load_layers=True):

@@ -25,6 +25,47 @@ def _make_divisible(v, divisor=8):
     return new_v
 
 
+def add_inverted_residual(net, name, in_ch, out_ch, stride, expansion,
+                          kernel=3, reg=0.0001):
+    """Append one linear-bottleneck MBConv block to ``net``: expand-pointwise
+    -> BN -> ReLU6 -> depthwise(kernel, stride) -> BN -> ReLU6 ->
+    project-pointwise -> BN, wrapped in a ResidualBlock with an identity skip
+    (no post-skip nonlinearity) when stride==1 and channels match. Shared by
+    MobileNetV2 (kernel=3) and EfficientNet-Lite (3x3 + 5x5 stages)."""
+    hidden = in_ch * expansion
+    layer_list = []
+    if expansion != 1:
+        layer_list += [
+            PointwiseConvLayer(name + "_expand",
+                               filter_block_shape=(hidden, in_ch),
+                               with_bias=False, weight_regulariser=l2(reg)),
+            BatchNormLayer(name + "_expand_bn", incoming_chans=hidden),
+            ReLu6(name + "_expand_relu6"),
+        ]
+    layer_list += [
+        DepthwiseConvLayer(name + "_dw",
+                           filter_block_shape=(hidden, kernel, kernel),
+                           stride=stride, padding=kernel // 2,
+                           with_bias=False),
+        BatchNormLayer(name + "_dw_bn", incoming_chans=hidden),
+        ReLu6(name + "_dw_relu6"),
+        PointwiseConvLayer(name + "_project",
+                           filter_block_shape=(out_ch, hidden),
+                           with_bias=False, weight_regulariser=l2(reg)),
+        BatchNormLayer(name + "_project_bn", incoming_chans=out_ch),
+    ]
+    if stride == 1 and in_ch == out_ch:
+        # linear bottleneck: identity skip, NO post-skip nonlinearity
+        net.add_layer(ResidualBlock(name, layer_list=layer_list,
+                                    skip_projection=None,
+                                    post_skip_activation=IdentityLayer(
+                                        name + "_join")))
+    else:
+        # no skip: plain sequential stack
+        for layer in layer_list:
+            net.add_layer(layer)
+
+
 class MobileNetV2(FeedForwardNetwork):
     # (expansion t, out channels c, repeats n, first stride s)
     _CFG = [
@@ -39,34 +80,8 @@ class MobileNetV2(FeedForwardNetwork):
 
     def _inverted_residual(self, name, in_ch, out_ch, stride, expansion,
                            reg=0.0001):
-        hidden = in_ch * expansion
-        layer_list = []
-        if expansion != 1:
-            layer_list += [
-                PointwiseConvLayer(name + "_expand", filter_block_shape=(hidden, in_ch),
-                                   with_bias=False, weight_regulariser=l2(reg)),
-                BatchNormLayer(name + "_expand_bn", incoming_chans=hidden),
-                ReLu6(name + "_expand_relu6"),
-            ]
-        layer_list += [
-            DepthwiseConvLayer(name + "_dw", filter_block_shape=(hidden, 3, 3),
-                               stride=stride, padding=1, with_bias=False),
-            BatchNormLayer(name + "_dw_bn", incoming_chans=hidden),
-            ReLu6(name + "_dw_relu6"),
-            PointwiseConvLayer(name + "_project", filter_block_shape=(out_ch, hidden),
-                               with_bias=False, weight_regulariser=l2(reg)),
-            BatchNormLayer(name + "_project_bn", incoming_chans=out_ch),
-        ]
-        if stride == 1 and in_ch == out_ch:
-            # linear bottleneck: identity skip, NO post-skip nonlinearity
-            self.add_layer(ResidualBlock(name, layer_list=layer_list,
-                                         skip_projection=None,
-                                         post_skip_activation=IdentityLayer(
-                                             name + "_join")))
-        else:
-            # no skip: plain sequential stack
-            for layer in layer_list:
-                self.add_layer(layer)
+        add_inverted_residual(self, name, in_ch, out_ch, stride, expansion,
+                              kernel=3, reg=reg)
 
     def __init__(self, name, num_classes=1000, width_mult=1.0, load_layers=True):
         super().__init__(name)

@@ -42,6 +42,10 @@ class BatchingServer:
         self._q = queue.Queue()
         self._closed = False
         self._carry = None
+        # guards the closed-check+enqueue pair in submit against racing
+        # close() (a submit slipping in after close drained the queue would
+        # leave its future unresolved forever)
+        self._submit_lock = threading.Lock()
         # observability: device dispatches vs rows served (the batching win)
         self.dispatches = 0
         self.rows_served = 0
@@ -51,10 +55,11 @@ class BatchingServer:
 
     # ------------------------------------------------------------------ #
     def submit(self, x):
-        if self._closed:
-            raise RuntimeError("BatchingServer is closed")
         fut = Future()
-        self._q.put((np.asarray(x, dtype=np.float32), fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingServer is closed")
+            self._q.put((np.asarray(x, dtype=np.float32), fut))
         return fut
 
     def predict_probs(self, x):
@@ -63,12 +68,19 @@ class BatchingServer:
 
     def close(self, timeout=5.0):
         """Stop the collector; pending requests are still drained first."""
-        if self._closed:
-            return
-        self._closed = True
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._q.put(None)  # sentinel
         self._thread.join(timeout)
-        # fail anything that raced past the closed check into the queue
+        if self._thread.is_alive():
+            # collector still mid-dispatch: draining now could steal the
+            # sentinel and leave the thread blocked forever — let it finish
+            # the in-flight batch and consume the sentinel itself (submit is
+            # already refused, so nothing new can queue behind it)
+            return
+        # collector exited; fail anything still queued behind the sentinel
         while True:
             try:
                 item = self._q.get_nowait()
@@ -114,17 +126,26 @@ class BatchingServer:
                 return
             batch = []
             n_rows = 0
+            row_shape = None  # (C,H,W) of this batch — requests must agree
             deadline = time.monotonic() + self.max_wait_s
 
             def admit(it):
-                nonlocal n_rows
+                nonlocal n_rows, row_shape
                 norm = self._normalise(it[0], it[1])
                 if norm is None:
                     return True  # failed its future; slot stays open
                 rows, squeeze = norm
+                if it[1].cancelled():
+                    return True  # caller cancelled while queued; drop it
+                if row_shape is not None and rows.shape[1:] != row_shape:
+                    # different (C,H,W): can't concatenate — serve it in its
+                    # own next dispatch (FIFO preserved via carry)
+                    self._carry = it
+                    return False
                 if n_rows + rows.shape[0] > B:
                     self._carry = it  # FIFO: carry to the next dispatch
                     return False
+                row_shape = rows.shape[1:]
                 batch.append((rows, squeeze, it[1]))
                 n_rows += rows.shape[0]
                 return True
@@ -145,16 +166,32 @@ class BatchingServer:
                     break
             self._drain_and_serve(batch, n_rows)
 
+    @staticmethod
+    def _safe_set(fut, value=None, exc=None):
+        """Resolve a future, tolerating a concurrent caller-side cancel
+        (a set on a cancelled future raises InvalidStateError, which must
+        never kill the collector thread)."""
+        try:
+            if fut.done():
+                return
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:
+            pass
+
     def _drain_and_serve(self, batch, n_rows):
         if not batch:
             return
-        X = np.concatenate([rows for rows, _, _ in batch], axis=0)
         try:
+            # concatenate inside the try: admit() groups by row shape, but
+            # any failure here must fail the batch's futures, not the thread
+            X = np.concatenate([rows for rows, _, _ in batch], axis=0)
             probs = self.runner.predict_probs(X)
-        except Exception as e:  # runner failure fails THIS batch only
+        except Exception as e:  # failure fails THIS batch only
             for _, _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(e)
+                self._safe_set(fut, exc=e)
             return
         self.dispatches += 1
         self.rows_served += n_rows
@@ -162,5 +199,5 @@ class BatchingServer:
         for rows, squeeze, fut in batch:
             n = rows.shape[0]
             out = probs[off:off + n]
-            fut.set_result(out[0] if squeeze else out)
+            self._safe_set(fut, value=out[0] if squeeze else out)
             off += n

@@ -44,10 +44,13 @@ def measure(rule, batch, image, classes=120):
         with ctx:
             net = ResNet18(f"ab-{rule}", num_classes=classes)
             trainer = Trainer(net, SGDMomentum(net, 0.05, 0.9))
-            X = jax.device_put(
-                np.random.randn(batch, 3, image, image).astype(np.float32))
-            y = jax.device_put(np.eye(classes, dtype=np.float32)[
-                np.random.randint(0, classes, batch)])
+            # bench data created ON DEVICE (CLAUDE.md: a bulk device_put of
+            # host-random batches can stall 30+ min through the tunnel)
+            kx, ky = jax.random.split(jax.random.PRNGKey(0))
+            X = jax.random.normal(kx, (batch, 3, image, image), jnp.float32)
+            y = jax.nn.one_hot(
+                jax.random.randint(ky, (batch,), 0, classes), classes,
+                dtype=jnp.float32)
             for _ in range(3):
                 loss, _ = trainer.step(X, y)
             float(loss)

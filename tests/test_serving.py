@@ -101,6 +101,29 @@ def test_batching_server_error_isolation_and_close():
     srv.close()  # idempotent
 
 
+def test_batching_server_mixed_shapes_and_cancel():
+    """Requests with different (C,H,W) in one window must each resolve (the
+    collector groups by shape and serves them in separate dispatches — a
+    naive concatenate would kill the thread); a cancelled future must not
+    kill the collector either."""
+    runner = _trained_runner(batch_size=8)
+    rng = np.random.RandomState(6)
+    a = rng.randn(3, 12, 12).astype(np.float32)
+    b = rng.randn(3, 16, 16).astype(np.float32)  # different spatial size
+    with BatchingServer(runner, max_wait_ms=200) as srv:
+        fa = srv.submit(a)
+        fb = srv.submit(b)
+        ra, rb = fa.result(timeout=30), fb.result(timeout=30)
+        assert ra.shape == (4,) and rb.shape == (4,)
+        assert srv.dispatches == 2  # one per shape group
+
+        # cancel-before-dispatch: the collector drops it and keeps serving
+        fc = srv.submit(a)
+        fc.cancel()
+        fd = srv.submit(a)
+        assert fd.result(timeout=30).shape == (4,)
+
+
 def test_batching_server_concurrent_callers():
     runner = _trained_runner(batch_size=8)
     rng = np.random.RandomState(5)
