@@ -409,3 +409,12 @@ def test_serving_demo_smoke(capsys):
     assert "QuantizedInferenceRunner(int8)" in out
     assert "EMA" in out
     assert "BatchingServer" in out
+
+
+def test_data_parallel_training_example():
+    """examples/data_parallel_training.py runs end-to-end on the 8 virtual
+    devices, including the FSDP dp4xtp2 section (which exercises the
+    SPMD-safe depthwise gradient through a user-facing script)."""
+    from examples import data_parallel_training
+
+    data_parallel_training.main()
