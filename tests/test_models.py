@@ -185,3 +185,30 @@ def test_squeeze_excite_layer_semantics():
     assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
     assert float(jnp.abs(g["w_reduce"]).max()) > 0
     assert float(jnp.abs(g["b_expand"]).max()) > 0
+
+
+def test_gradcam_on_mobilenet_v3_two_stage_head():
+    """MNv3's head is GAP -> Dense(1024) -> HardSwish -> Dense(classes):
+    plain CAM (classifier-weight projection) is structurally INVALID there
+    (the classifier rows live over the 1024 hidden units, not the conv
+    channels) — Grad-CAM differentiates through the whole head and stays
+    exact. Pins vjp flow through SE gates, hard-swish and the two-stage
+    head."""
+    from dorknet_tpu.models import MobileNetV3Small
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.cam import compute_gradcam_scores_batch
+
+    np.random.seed(0)
+    net = MobileNetV3Small("mnv3-gc", num_classes=5, width_mult=0.5)
+    tr = Trainer(net, SGDMomentum(net, 1e-3, 0.9))
+    X = np.random.randn(4, 3, 64, 64).astype(np.float32)
+    yoh = np.eye(5, dtype=np.float32)[np.random.randint(0, 5, 4)]
+    tr.step(X, yoh)  # initialise BN running stats
+
+    scores, cams = compute_gradcam_scores_batch(
+        net, X, top_k=2, terminal_layer_name="head_hswish", out_size=32)
+    c = np.asarray(cams)
+    assert c.shape == (4, 2, 32, 32)
+    assert np.isfinite(c).all() and c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
+    s = np.asarray(scores)
+    np.testing.assert_allclose(s.sum(1), 1.0, rtol=1e-4)
