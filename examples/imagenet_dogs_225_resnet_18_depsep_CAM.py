@@ -17,7 +17,7 @@ import os
 import cv2
 import numpy as np
 
-from dorknet_tpu.cam import compute_cam_scores
+from dorknet_tpu.cam import compute_cam_scores, compute_gradcam_scores
 from dorknet_tpu.data_loading import ImagePreprocessor
 from dorknet_tpu.models import ResNet18
 
@@ -30,6 +30,11 @@ CLASS_MAP = os.environ.get("DORKNET_CLASS_MAP",
 IMAGE_DIR = os.environ.get("DORKNET_IMAGE_DIR", "./dog_images")
 OUT_ROOT = os.environ.get("DORKNET_CAM_OUT", "CAM_outputs")
 IMAGE_SIZE = int(os.environ.get("DORKNET_IMAGE", "225"))
+# DORKNET_GRADCAM=1 switches the map computation to Grad-CAM
+# (dorknet_tpu.cam.compute_gradcam_scores): gradient-weighted maps, valid at
+# ANY tap depth and with any head — beyond-reference; the default is the
+# reference's classifier-weight CAM
+USE_GRADCAM = os.environ.get("DORKNET_GRADCAM", "0") == "1"
 
 
 def overlay_heatmap(bgr_image, cam01):
@@ -41,9 +46,10 @@ def overlay_heatmap(bgr_image, cam01):
 
 def run_one(net, preprocessor, class_names, image_path, out_dir):
     chw = preprocessor.load_image(image_path)
-    scores, cams = compute_cam_scores(net, chw[None], top_k=3,
-                                      terminal_layer_name="res8",
-                                      out_size=IMAGE_SIZE)
+    cam_fn = compute_gradcam_scores if USE_GRADCAM else compute_cam_scores
+    scores, cams = cam_fn(net, chw[None], top_k=3,
+                          terminal_layer_name="res8",
+                          out_size=IMAGE_SIZE)
     ranked = np.argsort(np.asarray(scores))[::-1][:3]
     original = cv2.resize(chw.transpose(1, 2, 0) + 128.0,
                           (IMAGE_SIZE, IMAGE_SIZE))

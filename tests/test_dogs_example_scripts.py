@@ -144,6 +144,27 @@ def test_cam_script_writes_overlays(dogs_env):
         assert any(not c.isdigit() for c in os.path.basename(outs[0])[2:-4])
 
 
+def test_cam_script_gradcam_mode(dogs_env):
+    """DORKNET_GRADCAM=1 runs the same __main__ with Grad-CAM maps (same
+    output contract: 3 ranked overlays per image)."""
+    assert "ckpt" in _produced, "training test must run first"
+    os.environ["DORKNET_CHECKPOINT"] = _produced["ckpt"]
+    os.environ["DORKNET_GRADCAM"] = "1"
+    os.environ["DORKNET_CAM_OUT"] = str(dogs_env / "GradCAM_outputs")
+    try:
+        _run("examples.imagenet_dogs_225_resnet_18_depsep_CAM")
+    finally:
+        os.environ.pop("DORKNET_CHECKPOINT", None)
+        os.environ.pop("DORKNET_GRADCAM", None)
+        os.environ.pop("DORKNET_CAM_OUT", None)
+    for i in range(2):
+        outs = glob.glob(str(dogs_env / "GradCAM_outputs" /
+                             "dog{}".format(i) / "*.png"))
+        assert len(outs) == 3, outs
+        im = cv2.imread(outs[0])
+        assert im is not None and im.shape == (IMG, IMG, 3)
+
+
 def test_evaluate_script_verify_int8(dogs_env, capsys):
     """The evaluate example's __main__ with --verify --int8: int8 serving over
     the val loader + top-5 annotated prediction images."""
