@@ -65,6 +65,25 @@ def _init_bn(net, image, classes, batch=8, seed=7):
     net.scatter_states(new_states)
 
 
+def _device_batch(batch_size, image, classes, k=None, seed=0):
+    """Create bench batches ON DEVICE with jax.random (CLAUDE.md: a bulk
+    device_put of host-random data can stall 30+ min through a degraded
+    tunnel window). Shapes: X (B,3,H,W) [or (k,B,3,H,W)], y one-hot."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def make(key, shape):
+        kx, ky = jax.random.split(key)
+        X = jax.random.normal(kx, shape, jnp.float32)
+        labels = jax.random.randint(ky, shape[:-3], 0, classes)
+        return X, jax.nn.one_hot(labels, classes, dtype=jnp.float32)
+
+    shape = ((batch_size, 3, image, image) if k is None
+             else (k, batch_size, 3, image, image))
+    return make(jax.random.PRNGKey(seed), shape)
+
+
 def bench_train(batch_size, steps=10, trials=3, image=225, classes=120,
                 compute_dtype=None, deadline=None, model="resnet18"):
     import jax.numpy as jnp
@@ -108,9 +127,7 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
     opt = SGDMomentum(net, 0.05 * (batch_size / 200.0), 0.9)
     trainer = Trainer(net, opt)
 
-    X = jax.device_put(np.random.randn(batch_size, 3, image, image).astype(np.float32))
-    y = jax.device_put(np.eye(classes, dtype=np.float32)[
-        np.random.randint(0, classes, batch_size)])
+    X, y = _device_batch(batch_size, image, classes)
 
     for _ in range(3):
         loss, _ = trainer.step(X, y)
@@ -171,10 +188,7 @@ def _bench_multistep_inner(batch_size, k, reps, image, classes):
     net = ResNet18("bench-ms", num_classes=classes)
     opt = SGDMomentum(net, 0.05 * (batch_size / 200.0), 0.9)
     trainer = Trainer(net, opt)
-    Xs = jax.device_put(np.random.randn(k, batch_size, 3, image, image)
-                        .astype(np.float32))
-    ys = jax.device_put(np.eye(classes, dtype=np.float32)[
-        np.random.randint(0, classes, (k, batch_size))])
+    Xs, ys = _device_batch(batch_size, image, classes, k=k)
     losses, _ = trainer.multi_step(Xs, ys)
     float(losses[-1])  # compile + sync
     best = float("inf")
@@ -537,14 +551,17 @@ def bench_inference(batch=128, runs=6, image=225, classes=120):
         net = ResNet18("bench-infer", num_classes=classes)
         _init_bn(net, image, classes)  # runners refuse zero-placeholder
         # running stats (and would time garbage activations — VERDICT r2)
-        Xh = np.random.randn(batch, 3, image, image).astype(np.float32)
-        X = jax.device_put(Xh)
-        X1 = jax.device_put(Xh[:1])
+        # timed batches created ON DEVICE (a bulk device_put can stall 30+
+        # min through a degraded tunnel); calibration uses a tiny host batch
+        # (scale values don't change the timed graph)
+        X, _ = _device_batch(batch, image, classes)
+        X1 = X[:1]
+        Xc = np.random.randn(8, 3, image, image).astype(np.float32)
         runner = InferenceRunner(net, batch_size=batch, fold_bn=True)
-        runner.predict_probs(Xh)  # compile (B=batch) + sync
+        float(runner._run_fixed(X)[0, 0])  # compile (B=batch) + sync
         qr = QuantizedInferenceRunner(net, batch_size=batch)
-        qr.calibrate([Xh])  # static activation scales
-        qr.predict_probs(Xh)  # compile + sync
+        qr.calibrate([Xc])  # static activation scales
+        float(qr._run_fixed(X)[0, 0])  # compile + sync
         best = {"bf16": float("inf"), "int8": float("inf")}
         for _ in range(runs):
             for name, r in (("bf16", runner), ("int8", qr)):
@@ -566,7 +583,7 @@ def bench_inference(batch=128, runs=6, image=225, classes=120):
                 dev_b[name] = batch / (d / 1e3)
 
         r1 = InferenceRunner(net, batch_size=1, fold_bn=True)
-        r1.predict_probs(Xh[:1])  # compile B=1
+        float(r1._run_fixed(X1)[0, 0])  # compile B=1 + sync
         lat = []
         for _ in range(runs):
             t0 = time.perf_counter()
