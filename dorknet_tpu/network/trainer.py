@@ -21,7 +21,8 @@ from dorknet_tpu.layers.base import to_nhwc
 
 class Trainer:
     def __init__(self, network, optimiser, batch_sharding=None, param_sharding=None,
-                 remat=False, input_layout="NCHW", ema_decay=None):
+                 remat=False, input_layout="NCHW", ema_decay=None,
+                 clip_norm=None):
         """remat=True wraps the WHOLE forward in ``jax.checkpoint`` (max memory
         saving, ~1 extra forward of FLOPs); remat="blocks" checkpoints each
         ResidualBlock individually — a finer FLOP/memory trade (block inputs
@@ -35,7 +36,14 @@ class Trainer:
         extra dispatch costs ~10 ms through this host's TPU link). The shadow
         tree initialises to the params at the first step; read it with
         ``ema_params()`` or serve it with ``ema_network()``. The reference has
-        no EMA; this is a production-serving addition."""
+        no EMA; this is a production-serving addition.
+
+        clip_norm (e.g. 1.0) rescales the gradient tree to a maximum GLOBAL
+        L2 norm before the optimiser update, inside the fused step (applies
+        to step / multi_step / accumulate_step alike; in accumulate_step the
+        clip acts on the K-microbatch MEAN gradient, matching a large-batch
+        step). The norm is computed in fp32. The reference has no clipping;
+        standard production stabiliser."""
         self.network = network
         self.optimiser = optimiser
         self.batch_sharding = batch_sharding
@@ -44,6 +52,9 @@ class Trainer:
         assert input_layout in ("NCHW", "NHWC")
         self.input_layout = input_layout
         self.ema_decay = None if ema_decay is None else float(ema_decay)
+        self.clip_norm = None if clip_norm is None else float(clip_norm)
+        if self.clip_norm is not None and self.clip_norm <= 0:
+            raise ValueError("clip_norm must be positive")
         self._jit_cache = {}
         self._cache = None  # optimiser state over the FULL network params tree
         self._ema = None    # shadow params tree (when ema_decay is set)
@@ -58,8 +69,20 @@ class Trainer:
             self.optimiser.hyper_key()
             if hasattr(self.optimiser, "hyper_key") else ())
         return (self.network._version, self.remat, self.input_layout,
-                self.ema_decay, hyper, trace_signature(),
+                self.ema_decay, self.clip_norm, hyper, trace_signature(),
                 tuple(l._trace_signature() for l in self.network.layers))
+
+    def _clip_grads(self, grads):
+        """Global-L2-norm clip (identity when clip_norm is None), traced
+        inside the step. fp32 norm; each leaf keeps its own dtype."""
+        if self.clip_norm is None:
+            return grads
+        leaves = jax.tree_util.tree_leaves(grads)
+        sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+        norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, self.clip_norm / jnp.maximum(norm, 1e-12))
+        return jax.tree_util.tree_map(
+            lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads)
 
     def _ema_update(self, ema, new_params):
         """decay*ema + (1-decay)*params, traced inside the step program.
@@ -162,6 +185,7 @@ class Trainer:
                 grads, (loss, probs, new_states) = jax.grad(
                     lambda p: trainer._forward_loss(p, states, X, y_one_hot),
                     has_aux=True)(params)
+                grads = trainer._clip_grads(grads)
                 new_params, new_cache = optimiser.apply_update(params, grads, cache, lr)
                 preds = jnp.argmax(probs, axis=1)
                 new_ema = trainer._ema_update(ema, new_params)
@@ -263,6 +287,7 @@ class Trainer:
                 (g_sum, new_states, loss_sum), _ = jax.lax.scan(
                     body, (zero_g, states, 0.0), (Xs, ys))
                 g_mean = jax.tree_util.tree_map(lambda g: g / K, g_sum)
+                g_mean = trainer._clip_grads(g_mean)
                 new_params, new_cache = optimiser.apply_update(
                     params, g_mean, cache, lr)
                 new_ema = trainer._ema_update(ema, new_params)
@@ -314,6 +339,7 @@ class Trainer:
                     grads, (loss, probs, new_states) = jax.grad(
                         lambda p: trainer._forward_loss(p, states, X, y),
                         has_aux=True)(params)
+                    grads = trainer._clip_grads(grads)
                     new_params, new_cache = optimiser.apply_update(
                         params, grads, cache, lr)
                     preds = jnp.argmax(probs, axis=1)

@@ -3,6 +3,7 @@ semantics — loss decreases, grads flow, taps work, Trainer == compat path."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from dorknet_tpu.network import FeedForwardNetwork, Trainer
 from dorknet_tpu.layers import (
@@ -572,3 +573,60 @@ def test_inference_runner_policy_flip_retraces():
     assert np.abs(p_flip - p_fp32).max() > 0  # bf16 numerics really applied
     p_back = r.predict_probs(X)              # and back to fp32
     np.testing.assert_array_equal(p_back, p_fp32)
+
+
+def test_trainer_clip_norm_semantics():
+    """clip_norm rescales the gradient tree to the global-L2 budget inside
+    the fused step: with a tiny budget the first update equals the unclipped
+    gradient direction scaled to exactly clip_norm; with a huge budget the
+    step is identical to an unclipped trainer. Also applies in multi_step."""
+    import jax
+
+    def build(seed):
+        np.random.seed(seed)
+        net = FeedForwardNetwork("clip")
+        net.add_layer(DenseLayer("d1", incoming_chans=6, output_dim=4))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+        return net
+
+    rng = np.random.RandomState(0)
+    X = (10.0 * rng.randn(16, 6)).astype(np.float32)  # big grads
+    y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 16)]
+    lr = 1.0
+
+    def first_update(clip):
+        net = build(3)
+        p0 = [np.asarray(v) for v in
+              jax.tree_util.tree_leaves(net.gather_params())]
+        tr = Trainer(net, SGD(net, lr), clip_norm=clip)
+        tr.step(X, y)
+        p1 = [np.asarray(v) for v in
+              jax.tree_util.tree_leaves(net.gather_params())]
+        return [a - b for a, b in zip(p1, p0)]
+
+    d_none = first_update(None)
+    d_huge = first_update(1e9)
+    d_tiny = first_update(0.01)
+
+    # huge budget == no clipping, bit-for-bit direction
+    for a, b in zip(d_none, d_huge):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    # tiny budget: update = -lr * g * (clip/||g||) -> ||update|| == lr*clip
+    norm_tiny = np.sqrt(sum(float((d ** 2).sum()) for d in d_tiny))
+    np.testing.assert_allclose(norm_tiny, lr * 0.01, rtol=1e-4)
+    norm_none = np.sqrt(sum(float((d ** 2).sum()) for d in d_none))
+    assert norm_none > 10 * norm_tiny  # clipping actually engaged
+    # direction preserved (global rescale, not per-leaf)
+    for a, b in zip(d_none, d_tiny):
+        np.testing.assert_allclose(a / norm_none, b / norm_tiny,
+                                   rtol=1e-3, atol=1e-6)
+
+    # multi_step path traces the clip too
+    net = build(3)
+    tr = Trainer(net, SGD(net, lr), clip_norm=0.01)
+    Xs = np.stack([X, X]); ys = np.stack([y, y])
+    losses, _ = tr.multi_step(Xs, ys)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    with pytest.raises(ValueError, match="clip_norm"):
+        Trainer(build(3), SGD(build(3), lr), clip_norm=-1.0)
