@@ -23,6 +23,11 @@ from concurrent.futures import Future
 import numpy as np
 
 
+class OverloadedError(RuntimeError):
+    """Raised by ``BatchingServer.submit`` when ``max_pending`` requests are
+    already queued — the backpressure signal for callers to shed or retry."""
+
+
 class BatchingServer:
     """Thread-safe dynamic batcher over a runner with ``predict_probs``.
 
@@ -36,9 +41,14 @@ class BatchingServer:
       requests and the server keep going.
     """
 
-    def __init__(self, runner, max_wait_ms=2.0):
+    def __init__(self, runner, max_wait_ms=2.0, max_pending=None):
+        """max_pending bounds the request queue (backpressure): when that many
+        requests are already waiting, ``submit`` raises ``OverloadedError``
+        immediately instead of growing the queue without bound — callers
+        shed load or retry. None (default) = unbounded."""
         self.runner = runner
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.max_pending = None if max_pending is None else int(max_pending)
         self._q = queue.Queue()
         self._closed = False
         self._carry = None
@@ -59,6 +69,11 @@ class BatchingServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("BatchingServer is closed")
+            if (self.max_pending is not None
+                    and self._q.qsize() >= self.max_pending):
+                raise OverloadedError(
+                    f"{self._q.qsize()} requests already pending "
+                    f"(max_pending={self.max_pending}) — shed load or retry")
             self._q.put((np.asarray(x, dtype=np.float32), fut))
         return fut
 

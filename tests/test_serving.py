@@ -141,3 +141,34 @@ def test_batching_server_concurrent_callers():
             t.join()
     np.testing.assert_allclose(np.stack(results), direct, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_batching_server_backpressure():
+    """max_pending: submit raises OverloadedError once the queue holds that
+    many waiting requests; after the collector drains, submit works again."""
+    import time
+    from dorknet_tpu.network.serving import OverloadedError
+
+    runner = _trained_runner(batch_size=4)
+    rng = np.random.RandomState(7)
+    x = rng.randn(3, 12, 12).astype(np.float32)
+    # long max_wait: the first request parks the collector in its batching
+    # window, so subsequent submits pile up in the queue deterministically
+    srv = BatchingServer(runner, max_wait_ms=1500, max_pending=2)
+    try:
+        futs = [srv.submit(x)]
+        deadline = time.time() + 10
+        raised = False
+        while time.time() < deadline and not raised:
+            try:
+                futs.append(srv.submit(x))
+            except OverloadedError:
+                raised = True
+        assert raised, "never saw backpressure"
+        # every accepted request still resolves
+        for f in futs:
+            assert f.result(timeout=30).shape == (4,)
+        # queue drained -> accepting again
+        assert srv.submit(x).result(timeout=30).shape == (4,)
+    finally:
+        srv.close()
