@@ -367,3 +367,27 @@ def test_xla_grouped_conv_dgrad_spmd_bug_canary():
         "channel-on-batch-axis sharding — the upstream bug this framework "
         "works around appears FIXED; re-evaluate config.spmd_safe_grads "
         "(see ops/conv.py:_depthwise_core_bwd and PERF.md round-3)")
+
+
+def test_sharded_inference_runner_matches_unsharded():
+    """InferenceRunner(batch_sharding=...) over the 8-device mesh: serving
+    probs must equal the single-device runner's exactly (forward-only path —
+    test-mode BN uses running stats, so sharding introduces no cross-batch
+    interaction at all)."""
+    from dorknet_tpu.network import InferenceRunner
+
+    X, y = batch(16)
+    net = build(9)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    tr.step(X, y)  # initialise BN running stats
+
+    r_single = InferenceRunner(net, batch_size=16, fold_bn=True)
+    mesh = make_mesh({"data": 8})
+    r_sharded = InferenceRunner(net, batch_size=16, fold_bn=True,
+                                batch_sharding=batch_sharding(mesh))
+    p_single = r_single.predict_probs(X)
+    p_sharded = r_sharded.predict_probs(X)
+    np.testing.assert_allclose(p_sharded, p_single, rtol=1e-5, atol=1e-7)
+    # ragged batch goes through the pad-to-compiled-shape path sharded too
+    np.testing.assert_allclose(r_sharded.predict_probs(X[:5]),
+                               p_single[:5], rtol=1e-5, atol=1e-7)
