@@ -378,20 +378,37 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
                     loss, _ = trainer.step(Xb, ohb)
                 return float(loss)  # hard sync
 
+            def run_fused(n):
+                # aug+mixup+train in ONE dispatch (Trainer.step_augmented) —
+                # halves the per-step host round-trips vs run()
+                nonlocal key
+                loss = None
+                for X_u8, _, oh in device_prefetch(loader.pull_batch(n), size=2):
+                    key, k = jax.random.split(key)
+                    loss, _ = trainer.step_augmented(
+                        k, X_u8, oh, (image, image), **AUG_ARGS)
+                return float(loss)  # hard sync
+
             run(2)  # compile + warm the queue
             t0 = time.perf_counter()
             run(steps)
             dt = (time.perf_counter() - t0) / steps
+            run_fused(1)  # compile the fused program
+            t0 = time.perf_counter()
+            run_fused(steps)
+            dt_fused = (time.perf_counter() - t0) / steps
         finally:
             dorknet_tpu.set_compute_dtype(jnp.float32)
             loader.stop_thread()
 
         trained_ips = 2 * batch_size / dt  # mixup: 2x trained images per batch
+        fused_ips = 2 * batch_size / dt_fused
         decode_ips = batch_size / dt
         log(f"e2e loader->prefetch->aug->train: {dt * 1e3:.1f} ms/step, "
             f"{trained_ips:.0f} trained img/s ({decode_ips:.0f} decoded img/s "
-            f"on {os.cpu_count()} host core(s))")
-        return trained_ips
+            f"on {os.cpu_count()} host core(s)); fused aug+train dispatch: "
+            f"{dt_fused * 1e3:.1f} ms/step, {fused_ips:.0f} trained img/s")
+        return trained_ips, fused_ips
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -878,7 +895,9 @@ def main():
         log("skipping aug-vs-train config (time budget)")
     if time_left() > 120:
         try:
-            results["e2e_train_ips"] = round(bench_e2e_train(), 1)
+            e2e_ips, e2e_fused_ips = bench_e2e_train()
+            results["e2e_train_ips"] = round(e2e_ips, 1)
+            results["e2e_train_fused_ips"] = round(e2e_fused_ips, 1)
         except Exception as e:
             log(f"e2e bench failed: {e}")
     else:

@@ -150,9 +150,11 @@ class Trainer:
                                or self.batch_sharding is not None
                                or self.param_sharding is not None)
 
-    def _forward_loss(self, params, states, X, y_one_hot):
+    def _forward_loss(self, params, states, X, y_one_hot, internal=False):
         """(loss_for_grad, (loss_reported, probs, new_states)) — optionally
-        rematerialised."""
+        rematerialised. internal=True means X is already in the internal
+        (NHWC) layout regardless of input_layout (the fused-augmentation
+        path produces it there)."""
         network = self.network
 
         layer_wrap = None
@@ -169,7 +171,8 @@ class Trainer:
 
         if self.remat is True:
             fwd = jax.checkpoint(fwd)
-        out, (new_states, reported_reg, full_reg) = fwd(params, self._to_internal(X))
+        x = X if internal else self._to_internal(X)
+        out, (new_states, reported_reg, full_reg) = fwd(params, x)
         data_loss, probs = network.loss_layer.fapply_loss(out, y_one_hot)
         return data_loss + full_reg, (data_loss + reported_reg, probs, new_states)
 
@@ -391,6 +394,175 @@ class Trainer:
             fn = self._get_multi_step()
             new_params, new_states, self._cache, self._ema, losses, preds = fn(
                 params, states, self._cache, self._ema, Xs, ys,
+                self.optimiser.device_lr())
+        self._commit(new_params, new_states)
+        return losses, preds
+
+    # ------------------------------------------------------------------ #
+    # Fused augmentation + training: the whole input pipeline tail (crop/
+    # HSV/rotation/flip, -128 shift, mixup) runs INSIDE the one compiled
+    # step program. The host uploads raw uint8 precrop batches (1 byte/px —
+    # 4x smaller transfers than fp32) and pays ONE dispatch per step (or per
+    # K steps with multi_step_augmented) instead of aug + train separately;
+    # the augmented batch never round-trips through HBM between programs.
+    # The reference runs this stage on host threads (image_preprocessor.py
+    # + image_data_loader.py mixup); here it is the same XLA program as the
+    # gradient step.
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+                    horizontal_flip_prob, crop_mode, mixup):
+        """Resolve the augmentation config into the hashable static tuple
+        passed to _train_pipeline_impl (and used as part of the jit key).
+        aug_dtype is resolved from the compute policy here, at trace-key
+        time, exactly like train_pipeline does."""
+        from dorknet_tpu.config import get_compute_dtype
+
+        def tt(v):  # tuples all the way down (configs arrive as lists)
+            return tuple(tuple(e) if isinstance(e, (list, tuple)) else e
+                         for e in v) if isinstance(v, (list, tuple)) else v
+
+        return (tuple(out_hw), tt(hsv_pert_tuples), tt(rotation_tuple),
+                horizontal_flip_prob, crop_mode, tt(mixup),
+                jnp.dtype(get_compute_dtype()).name)
+
+    def _get_aug_step(self, aug):
+        key = ("aug",) + aug + self._signature()
+        if key not in self._jit_cache:
+            from dorknet_tpu.data_loading.device_augment import \
+                _train_pipeline_impl
+
+            optimiser = self.optimiser
+            trainer = self
+            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype) = aug
+
+            def step(params, states, cache, ema, rng, Xu8, one_hot, lr):
+                x, y = _train_pipeline_impl(
+                    rng, Xu8, one_hot, out_hw, hsv, rot, flip, crop_mode,
+                    mixup, "NHWC", "planes", aug_dtype)
+                grads, (loss, probs, new_states) = jax.grad(
+                    lambda p: trainer._forward_loss(p, states, x, y,
+                                                    internal=True),
+                    has_aux=True)(params)
+                grads = trainer._clip_grads(grads)
+                new_params, new_cache = optimiser.apply_update(
+                    params, grads, cache, lr)
+                preds = jnp.argmax(probs, axis=1)
+                new_ema = trainer._ema_update(ema, new_params)
+                return new_params, new_states, new_cache, new_ema, loss, preds
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2, 3))
+        return self._jit_cache[key]
+
+    def _place_raw(self, X, y):
+        """Placement that PRESERVES the raw batch dtype (uint8 stays 1
+        byte/pixel on the wire, unlike _place_batch's float32 contract)."""
+        if not isinstance(X, jax.Array):
+            X = np.ascontiguousarray(X)
+        if not isinstance(y, jax.Array):
+            y = np.ascontiguousarray(y, dtype=np.float32)
+        return (jax.device_put(X, self.batch_sharding),
+                jax.device_put(y, self.batch_sharding))
+
+    def step_augmented(self, rng, X_precrop, one_hot, out_hw,
+                       hsv_pert_tuples=None, rotation_tuple=None,
+                       horizontal_flip_prob=None, crop_mode="random",
+                       mixup=None):
+        """One fused augment+train step. X_precrop: (B, H, W, C) BGR in
+        [0, 255] — uint8 straight from the loader (emit_hwc_uint8=True) or
+        float32. rng: a jax.random key. With mixup the step trains 2B images
+        (both convex orderings, reference pairing). Returns (loss, preds) as
+        device arrays. Numerically equal to train_pipeline(...) followed by
+        step(..., input_layout="NHWC")."""
+        aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+                               horizontal_flip_prob, crop_mode, mixup)
+        params, states = self._prepare()
+        X, y = self._place_raw(X_precrop, one_hot)
+        with self._safe_grads_ctx():
+            fn = self._get_aug_step(aug)
+            new_params, new_states, self._cache, self._ema, loss, preds = fn(
+                params, states, self._cache, self._ema, rng, X, y,
+                self.optimiser.device_lr())
+        self._commit(new_params, new_states)
+        return loss, preds
+
+    def _get_multi_aug_step(self, aug):
+        key = ("multi-aug",) + aug + self._signature()
+        if key not in self._jit_cache:
+            from dorknet_tpu.data_loading.device_augment import \
+                _train_pipeline_impl
+
+            optimiser = self.optimiser
+            trainer = self
+            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype) = aug
+
+            def multi(params, states, cache, ema, rngs, Xs, ys, lr):
+                def body(carry, batch):
+                    params, states, cache, ema = carry
+                    rng, Xu8, one_hot = batch
+                    x, y = _train_pipeline_impl(
+                        rng, Xu8, one_hot, out_hw, hsv, rot, flip,
+                        crop_mode, mixup, "NHWC", "planes", aug_dtype)
+                    grads, (loss, probs, new_states) = jax.grad(
+                        lambda p: trainer._forward_loss(p, states, x, y,
+                                                        internal=True),
+                        has_aux=True)(params)
+                    grads = trainer._clip_grads(grads)
+                    new_params, new_cache = optimiser.apply_update(
+                        params, grads, cache, lr)
+                    preds = jnp.argmax(probs, axis=1)
+                    new_ema = trainer._ema_update(ema, new_params)
+                    return (new_params, new_states, new_cache, new_ema), (loss, preds)
+
+                (params, states, cache, ema), (losses, preds) = jax.lax.scan(
+                    body, (params, states, cache, ema), (rngs, Xs, ys))
+                return params, states, cache, ema, losses, preds
+
+            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 2, 3))
+        return self._jit_cache[key]
+
+    def multi_step_augmented(self, rngs, X_stack, y_stack, out_hw,
+                             hsv_pert_tuples=None, rotation_tuple=None,
+                             horizontal_flip_prob=None, crop_mode="random",
+                             mixup=None):
+        """K fused augment+train steps in ONE dispatch (lax.scan).
+        rngs: (K,) stacked jax.random keys (jax.random.split(key, K));
+        X_stack: (K, B, H, W, C) uint8/float32 precrop batches. Requires
+        initialised BN running stats, like multi_step — falls back to K
+        single augmented steps on a fresh network (same trace reused
+        forever, no throwaway compile)."""
+        if not all(l.bn_initialized() for l in self.network.layers):
+            losses, preds = [], []
+            for i in range(X_stack.shape[0]):
+                li, pi = self.step_augmented(
+                    rngs[i], X_stack[i], y_stack[i], out_hw,
+                    hsv_pert_tuples, rotation_tuple, horizontal_flip_prob,
+                    crop_mode, mixup)
+                losses.append(li)
+                preds.append(pi)
+            return jnp.stack(losses), jnp.stack(preds)
+
+        aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+                               horizontal_flip_prob, crop_mode, mixup)
+        params, states = self._prepare()
+        if self.batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = self.batch_sharding
+            stacked = NamedSharding(s.mesh, P(None, *s.spec))
+            Xs = jax.device_put(np.ascontiguousarray(X_stack)
+                                if not isinstance(X_stack, jax.Array)
+                                else X_stack, stacked)
+            ys = jax.device_put(np.ascontiguousarray(y_stack, dtype=np.float32)
+                                if not isinstance(y_stack, jax.Array)
+                                else y_stack, stacked)
+        else:
+            Xs, ys = self._place_raw(X_stack, y_stack)
+
+        with self._safe_grads_ctx():
+            fn = self._get_multi_aug_step(aug)
+            new_params, new_states, self._cache, self._ema, losses, preds = fn(
+                params, states, self._cache, self._ema, rngs, Xs, ys,
                 self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return losses, preds

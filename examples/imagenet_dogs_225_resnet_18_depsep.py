@@ -150,16 +150,16 @@ if __name__ == "__main__":
             for i, (X_batch, y_batch, y_one_hot) in enumerate(
                     tqdm(batches, total=steps)):
                 if ON_DEVICE_AUGMENT:
-                    from dorknet_tpu.data_loading.device_augment import train_pipeline
-
                     aug_key, k = jax.random.split(aug_key)
-                    # the loader's uint8 batch goes in AS uint8: the crop
-                    # stage then runs at 1 byte/pixel (train_pipeline
-                    # docstring) — no fp32 cast
-                    X_batch, y_one_hot = train_pipeline(
+                    # the loader's uint8 batch goes in AS uint8 (the crop
+                    # stage runs at 1 byte/pixel) and the whole aug+mixup+
+                    # train step is ONE compiled dispatch
+                    # (Trainer.step_augmented)
+                    loss, preds = trainer.step_augmented(
                         k, X_batch, y_one_hot, (IMAGE_SIZE, IMAGE_SIZE),
                         crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
-                loss, preds = trainer.step(X_batch, y_one_hot)
+                else:
+                    loss, preds = trainer.step(X_batch, y_one_hot)
                 loss = float(loss)
                 if running_loss_average is None:
                     running_loss_average = loss

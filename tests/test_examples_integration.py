@@ -336,8 +336,9 @@ def test_bench_pipeline_sections_smoke():
         batch_size=4, image=36, classes=5, rounds=1)
     assert aug_ips > 0 and tr_ips > 0
 
-    assert bench.bench_e2e_train(steps=2, batch_size=8, image=36,
-                                 classes=2) > 0
+    e2e_ips, e2e_fused_ips = bench.bench_e2e_train(steps=2, batch_size=8,
+                                                   image=36, classes=2)
+    assert e2e_ips > 0 and e2e_fused_ips > 0
 
 
 def test_bench_pallas_check_smoke():
