@@ -143,6 +143,38 @@ def test_step_augmented_learns_colour_task():
     assert float(loss) < first * 0.5
 
 
+def test_step_augmented_bf16_policy_matches_two_program_path():
+    """Under the production bf16 compute policy the fused step still equals
+    the two-program path (same aug_dtype resolution both sides), and the
+    policy flip retraces rather than reusing the fp32 program."""
+    import dorknet_tpu
+
+    net_a, net_b = build_net("f-bf16"), build_net("t-bf16")
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9), input_layout="NHWC")
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        key = jax.random.PRNGKey(21)
+        for i in range(2):
+            key, k = jax.random.split(key)
+            X, oh = _batch(seed=i)
+            loss_a, _ = tr_a.step_augmented(k, X, oh, OUT, **AUG)
+            Xb, ohb = train_pipeline(k, jnp.asarray(X), jnp.asarray(oh), OUT,
+                                     output_layout="NHWC", **AUG)
+            loss_b, _ = tr_b.step(Xb, ohb)
+            assert np.isfinite(float(loss_a))
+            # bf16 flow: identical math modulo fusion-order rounding
+            assert np.allclose(float(loss_a), float(loss_b),
+                               rtol=2e-2, atol=1e-3)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    # back under fp32 the SAME trainer must retrace (policy is in the key),
+    # not reuse the bf16 program
+    X, oh = _batch(seed=9)
+    loss, _ = tr_a.step_augmented(jax.random.PRNGKey(0), X, oh, OUT, **AUG)
+    assert np.asarray(loss).dtype == np.float32
+
+
 def test_step_augmented_sharded_matches_single_device():
     """The fused step under a DP mesh equals the single-device fused step
     (global-jit semantics: cross-replica BN + grad all-reduce from the
