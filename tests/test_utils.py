@@ -377,3 +377,20 @@ def test_lr_schedules():
     lr = sd.apply(opt, 20)
     assert np.isclose(lr, 0.00375)
     assert np.isclose(opt.learning_rate, 0.00375)
+
+
+def test_api_reference_up_to_date():
+    """docs/api_reference.md is generated from live docstrings
+    (scripts/make_api_reference.py) — regenerate it when the public API
+    changes so users never read a stale reference."""
+    import os
+
+    from scripts.make_api_reference import generate
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "api_reference.md")
+    with open(path) as f:
+        committed = f.read()
+    assert committed == generate(), (
+        "docs/api_reference.md is stale — run "
+        "`python -m scripts.make_api_reference` and commit the result")
