@@ -313,14 +313,30 @@ def bench_aug_vs_train_interleaved(batch_size=256, image=225, classes=120,
                 loss, _ = trainer.step(Xt, oh)
             float(loss)
             best["train"] = min(best["train"], (time.perf_counter() - t0) / 4)
+
+        # the FUSED aug+train program (step_augmented): device ms per
+        # dispatch, to show what the aug stage costs when it shares the
+        # step's XLA program (PERF.md round-3; the wall win — one dispatch —
+        # is measured by bench_e2e_train)
+        loss, _ = trainer.step_augmented(jax.random.PRNGKey(0), Xu, oh,
+                                         (image, image), **AUG_ARGS)
+        float(loss)  # compile + sync
+        fused_dev_ms = _device_time_ms(
+            lambda: float(trainer.step_augmented(
+                jax.random.PRNGKey(1), Xu, oh, (image, image),
+                **AUG_ARGS)[0]), runs=3)
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
     aug_ips = aug_emitted / best["aug"]
     train_ips = batch_size / best["train"]
+    fused_dev_ips = (aug_emitted / (fused_dev_ms / 1e3)
+                     if fused_dev_ms else None)
     log(f"aug-vs-train (interleaved, bf16): aug {aug_ips:.0f} trained-img/s "
         f"({aug_emitted} emitted/dispatch), train {train_ips:.0f} img/s, "
-        f"ratio {aug_ips / train_ips:.2f}x")
-    return aug_ips, train_ips
+        f"ratio {aug_ips / train_ips:.2f}x"
+        + (f"; fused aug+train device: {fused_dev_ms:.2f} ms/dispatch "
+           f"({fused_dev_ips:.0f} trained img/s)" if fused_dev_ms else ""))
+    return aug_ips, train_ips, fused_dev_ips
 
 
 def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
@@ -886,9 +902,11 @@ def main():
     # input-pipeline metrics (VERDICT r1 item 3)
     if time_left() > 120:
         try:
-            aug_ips, tr_ips = bench_aug_vs_train_interleaved()
+            aug_ips, tr_ips, fused_dev_ips = bench_aug_vs_train_interleaved()
             results["aug_device_ips"] = round(aug_ips, 1)
             results["aug_vs_train_ratio"] = round(aug_ips / tr_ips, 2)
+            if fused_dev_ips:
+                results["train_fused_aug_device_ips"] = round(fused_dev_ips, 1)
         except Exception as e:
             log(f"aug-vs-train bench failed: {e}")
     else:

@@ -332,7 +332,7 @@ def test_bench_pipeline_sections_smoke():
                                             classes=5)
     assert out.get("fp32", 0) > 0 and out.get("bf16", 0) > 0
 
-    aug_ips, tr_ips = bench.bench_aug_vs_train_interleaved(
+    aug_ips, tr_ips, _fused_dev = bench.bench_aug_vs_train_interleaved(
         batch_size=4, image=36, classes=5, rounds=1)
     assert aug_ips > 0 and tr_ips > 0
 
