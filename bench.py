@@ -265,7 +265,9 @@ def bench_aug_vs_train_interleaved(batch_size=256, image=225, classes=120,
                                    rounds=3):
     """The VERDICT item-3 check: can the on-device augmentation stage sustain
     the train step's rate? Both programs compiled first, trials interleaved in
-    the same window (contention-fair). Returns (aug_ips, train_ips)."""
+    the same window (contention-fair). Returns (aug_ips, train_ips,
+    fused_dev_ips) — the last is the step_augmented program's device-time
+    rate (None when the profiler can't trace on this platform)."""
     import jax.numpy as jnp
     import dorknet_tpu
     from dorknet_tpu.data_loading.device_augment import train_pipeline

@@ -201,6 +201,27 @@ class Trainer:
             self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
 
+    def _place_stacked(self, X_stack, y_stack, keep_x_dtype=False):
+        """Place (K, B, ...) stacks: dim 1 (batch) sharded per
+        batch_sharding, the K dim replicated. keep_x_dtype preserves the raw
+        batch dtype (uint8 stays 1 byte/pixel for the fused-aug path);
+        labels are always float32."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.batch_sharding is not None:
+            s = self.batch_sharding
+            sharding = NamedSharding(s.mesh, P(None, *s.spec))
+        else:
+            sharding = None
+        if not isinstance(X_stack, jax.Array):
+            X_stack = np.ascontiguousarray(
+                X_stack) if keep_x_dtype else np.ascontiguousarray(
+                X_stack, dtype=np.float32)
+        if not isinstance(y_stack, jax.Array):
+            y_stack = np.ascontiguousarray(y_stack, dtype=np.float32)
+        return (jax.device_put(X_stack, sharding),
+                jax.device_put(y_stack, sharding))
+
     def _place_batch(self, X, y):
         # device_put (async) — measurably faster than jnp.asarray through the
         # host↔TPU link, and already-placed jax.Arrays pass through untouched.
@@ -375,20 +396,7 @@ class Trainer:
             return jnp.stack(losses), jnp.stack(preds)
 
         params, states = self._prepare()
-        if self.batch_sharding is not None:
-            # stacked layout (K, B, ...): shard dim 1 (batch), replicate K
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            s = self.batch_sharding
-            stacked = NamedSharding(s.mesh, P(None, *s.spec))
-            Xs = jax.device_put(np.ascontiguousarray(X_stack, dtype=np.float32)
-                                if not isinstance(X_stack, jax.Array) else X_stack,
-                                stacked)
-            ys = jax.device_put(np.ascontiguousarray(y_stack, dtype=np.float32)
-                                if not isinstance(y_stack, jax.Array) else y_stack,
-                                stacked)
-        else:
-            Xs, ys = self._place_batch(X_stack, y_stack)
+        Xs, ys = self._place_stacked(X_stack, y_stack)
 
         with self._safe_grads_ctx():
             fn = self._get_multi_step()
@@ -545,19 +553,7 @@ class Trainer:
         aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
                                horizontal_flip_prob, crop_mode, mixup)
         params, states = self._prepare()
-        if self.batch_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            s = self.batch_sharding
-            stacked = NamedSharding(s.mesh, P(None, *s.spec))
-            Xs = jax.device_put(np.ascontiguousarray(X_stack)
-                                if not isinstance(X_stack, jax.Array)
-                                else X_stack, stacked)
-            ys = jax.device_put(np.ascontiguousarray(y_stack, dtype=np.float32)
-                                if not isinstance(y_stack, jax.Array)
-                                else y_stack, stacked)
-        else:
-            Xs, ys = self._place_raw(X_stack, y_stack)
+        Xs, ys = self._place_stacked(X_stack, y_stack, keep_x_dtype=True)
 
         with self._safe_grads_ctx():
             fn = self._get_multi_aug_step(aug)

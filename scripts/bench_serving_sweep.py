@@ -48,13 +48,25 @@ def main(image=225, classes=120):
         net = ResNet18("serve-sweep", num_classes=classes)
         _init_bn(net, image, classes)  # garbage stats time 9-12% slower
         Xc = np.random.randn(8, 3, image, image).astype(np.float32)
+        # calibrate ONCE — activation scales are batch-size independent;
+        # every other batch size transplants them via set_scales (the
+        # persistable-calibration contract, network/quantized.py)
+        scales = None
+
+        def fmt(v, spec):
+            return format(v, spec) if v is not None else "n/a"
+
         rows = []
         for B in batches:
             X, _ = _device_batch(B, image, classes)
             runner = InferenceRunner(net, batch_size=B, fold_bn=True)
             float(runner._run_fixed(X)[0, 0])  # compile + sync
             qr = QuantizedInferenceRunner(net, batch_size=B)
-            qr.calibrate([Xc])
+            if scales is None:
+                qr.calibrate([Xc])
+                scales = qr.get_scales()
+            else:
+                qr.set_scales(scales)
             float(qr._run_fixed(X)[0, 0])
             out = {"B": B}
             for name, r in (("bf16", runner), ("int8", qr)):
@@ -63,14 +75,16 @@ def main(image=225, classes=120):
                 out[name + "_ms"] = d
                 out[name + "_ips"] = B / (d / 1e3) if d else None
             rows.append(out)
-            print("B={B}: bf16 {bf16_ms:.2f} ms = {bf16_ips:,.0f} img/s | "
-                  "int8 {int8_ms:.2f} ms = {int8_ips:,.0f} img/s".format(**out),
-                  flush=True)
+            print("B={}: bf16 {} ms = {} img/s | int8 {} ms = {} img/s".format(
+                B, fmt(out["bf16_ms"], ".2f"), fmt(out["bf16_ips"], ",.0f"),
+                fmt(out["int8_ms"], ".2f"), fmt(out["int8_ips"], ",.0f")),
+                flush=True)
         print("\n| B | bf16 ms | bf16 img/s | int8 ms | int8 img/s |")
         print("|---|---|---|---|---|")
         for o in rows:
-            print("| {B} | {bf16_ms:.2f} | {bf16_ips:,.0f} | {int8_ms:.2f} "
-                  "| {int8_ips:,.0f} |".format(**o))
+            print("| {} | {} | {} | {} | {} |".format(
+                o["B"], fmt(o["bf16_ms"], ".2f"), fmt(o["bf16_ips"], ",.0f"),
+                fmt(o["int8_ms"], ".2f"), fmt(o["int8_ips"], ",.0f")))
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
 
