@@ -703,6 +703,58 @@ def bench_pallas_check(B=4, H=14, C=128):
     return ok, max_err
 
 
+def bench_pallas_aug(batch=128, image=225):
+    """On-chip correctness + A/B of the fused Pallas augmentation kernel
+    (ops/pallas/augment.py: crop+HSV+rotation VMEM-resident per image)
+    against the XLA planes pipeline it replaces. Both paths are the same
+    algorithm in the same dtypes, so the outputs must agree to <=1 uint8
+    step; device time decides which one the production gate should select
+    on this hardware. Returns (ok, max_diff, planes_ips, pallas_ips)."""
+    import jax.numpy as jnp
+    from dorknet_tpu.data_loading.device_augment import (
+        augment_batch_planes, draw_batch_params, flip_batch_planes)
+    from dorknet_tpu.ops.pallas.augment import augment_planes_fused
+
+    precrop = int(image * 1.25)
+    out_hw = (image, image)
+    cfg = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+               rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+               crop_mode="random")
+    x = jax.random.randint(jax.random.PRNGKey(0),
+                           (batch, 3, precrop, precrop), 0, 256, jnp.uint8)
+    params = draw_batch_params(jax.random.PRNGKey(1), batch,
+                               (precrop, precrop), out_hw, **cfg)
+
+    @jax.jit
+    def planes(x, params):
+        return augment_batch_planes(x, params, out_hw, **cfg)
+
+    @jax.jit
+    def fused(x, params):
+        return augment_planes_fused(x, params, out_hw, **cfg)
+
+    want = np.asarray(planes(x, params))
+    got = np.asarray(fused(x, params))
+    diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+    max_diff = int(diff.max())
+    ok = max_diff <= 1 and float((diff > 0).mean()) < 0.02
+    log(f"pallas aug correctness: max diff {max_diff} uint8 steps, "
+        f"{(diff > 0).mean() * 100:.3f}% pixels differ -> "
+        f"{'OK' if ok else 'MISMATCH'}")
+
+    d_planes = _device_time_ms(
+        lambda: np.asarray(planes(x, params)[0, 0, 0, 0]), runs=3)
+    d_fused = _device_time_ms(
+        lambda: np.asarray(fused(x, params)[0, 0, 0, 0]), runs=3)
+    planes_ips = batch / (d_planes / 1e3) if d_planes else None
+    pallas_ips = batch / (d_fused / 1e3) if d_fused else None
+    if d_planes and d_fused:
+        log(f"pallas aug A/B (b{batch} @{image}px): planes {d_planes:.2f} ms "
+            f"({planes_ips:.0f} img/s) vs fused kernel {d_fused:.2f} ms "
+            f"({pallas_ips:.0f} img/s) = {d_planes / d_fused:.2f}x")
+    return ok, max_diff, planes_ips, pallas_ips
+
+
 def bench_spmd_dw_check(B=8, H=14, C=64):
     """On-chip correctness of the SPMD-safe depthwise weight-gradient rules
     (ops/conv.py:_depthwise_core_bwd): the custom_partitioning "conv" rule
@@ -863,6 +915,23 @@ def main():
             results["pallas_ok"] = False
     else:
         log("skipping pallas check (time budget)")
+
+    # Fused pallas augmentation kernel: on-chip correctness + A/B vs the XLA
+    # planes pipeline (2 aug-program compiles)
+    if time_left() > 60:
+        try:
+            ok, max_diff, planes_ips, pallas_ips = bench_pallas_aug()
+            results["pallas_aug_ok"] = bool(ok)
+            results["pallas_aug_max_diff"] = max_diff
+            if planes_ips:
+                results["aug_planes_device_ips"] = round(planes_ips, 1)
+            if pallas_ips:
+                results["aug_pallas_device_ips"] = round(pallas_ips, 1)
+        except Exception as e:
+            log(f"pallas aug check failed: {e}")
+            results["pallas_aug_ok"] = False
+    else:
+        log("skipping pallas aug check (time budget)")
 
     # SPMD-safe dw rules vs autodiff on the real backend (3 tiny compiles)
     if time_left() > 45:

@@ -213,8 +213,19 @@ def _hsv_to_bgr_chw(h, s, v):
     hp = h2 / 60.0
     x = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
     z = jnp.zeros_like(c)
-    idx = jnp.floor(hp).astype(jnp.int32) % 6
-    sel = lambda vals: jnp.select([idx == i for i in range(6)], vals)
+    # hp lives in [0, 6) (h <= 179.5 so h2 < 360): floor is already 0..5 and
+    # the "% 6" was a no-op — clip keeps the guarantee without an integer
+    # rem, which Mosaic (the pallas aug kernel reuses this helper) can't lower
+    idx = jnp.clip(jnp.floor(hp).astype(jnp.int32), 0, 5)
+
+    # nested wheres instead of jnp.select: the sectors are mutually
+    # exclusive so they're equivalent, and jnp.select lowers through an
+    # integer argmax Mosaic can't compile (pallas aug kernel reuses this)
+    def sel(vals):
+        out = vals[5]
+        for i in range(4, -1, -1):
+            out = jnp.where(idx == i, vals[i], out)
+        return out
     r = sel([c, x, z, z, x, c])
     g = sel([x, c, c, x, z, z])
     b = sel([z, z, x, c, c, x])
@@ -584,7 +595,7 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
                    hsv_pert_tuples=None, rotation_tuple=None,
                    horizontal_flip_prob=None, crop_mode="random",
                    mixup=None, output_layout="NCHW", internal_layout="planes",
-                   aug_dtype=None):
+                   aug_dtype=None, use_pallas_aug=None):
     """precrop-size BGR batch (B,H,W,C in [0,255]) → augmented, optionally
     mixed-up, -128-shifted training batch in one jitted program.
     output_layout="NHWC" pairs with Trainer(input_layout="NHWC") to avoid a
@@ -609,29 +620,47 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
         from dorknet_tpu.config import get_compute_dtype
 
         aug_dtype = jnp.dtype(get_compute_dtype()).name
+    if use_pallas_aug is None:
+        # same stale-trace discipline as aug_dtype: the pallas gate is read
+        # here, not inside the cached jit
+        from dorknet_tpu.config import use_pallas
+
+        use_pallas_aug = use_pallas()
     return _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
                                 hsv_pert_tuples, rotation_tuple,
                                 horizontal_flip_prob, crop_mode, mixup,
-                                output_layout, internal_layout, aug_dtype)
+                                output_layout, internal_layout, aug_dtype,
+                                use_pallas_aug)
 
 
 @partial(jax.jit, static_argnames=("out_hw", "hsv_pert_tuples", "rotation_tuple",
                                    "horizontal_flip_prob", "crop_mode", "mixup",
                                    "output_layout", "internal_layout",
-                                   "aug_dtype"))
+                                   "aug_dtype", "use_pallas_aug"))
 def _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
                          hsv_pert_tuples, rotation_tuple,
                          horizontal_flip_prob, crop_mode,
-                         mixup, output_layout, internal_layout, aug_dtype):
+                         mixup, output_layout, internal_layout, aug_dtype,
+                         use_pallas_aug=False):
     k_aug, k_mix = jax.random.split(key)
     if internal_layout == "planes":
         x = jnp.transpose(images_precrop, (0, 3, 1, 2))
         params = draw_batch_params(k_aug, x.shape[0], x.shape[2:], out_hw,
                                    hsv_pert_tuples, rotation_tuple,
                                    horizontal_flip_prob, crop_mode)
-        x = augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
-                                 rotation_tuple, horizontal_flip_prob,
-                                 crop_mode, hsv_dtype=aug_dtype)
+        if use_pallas_aug and jnp.issubdtype(x.dtype, jnp.integer):
+            # one VMEM-resident kernel for crop+HSV+rotation instead of the
+            # barrel-shift round chain (ops/pallas/augment.py); flip rides
+            # along inside augment_planes_fused as the XLA select pass
+            from dorknet_tpu.ops.pallas.augment import augment_planes_fused
+
+            x = augment_planes_fused(x, params, out_hw, hsv_pert_tuples,
+                                     rotation_tuple, horizontal_flip_prob,
+                                     crop_mode, hsv_dtype=aug_dtype)
+        else:
+            x = augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
+                                     rotation_tuple, horizontal_flip_prob,
+                                     crop_mode, hsv_dtype=aug_dtype)
         x = x.astype(aug_dtype) - 128.0
         if mixup is not None:
             x, one_hot = mixup_pair(k_mix, x, one_hot,

@@ -422,9 +422,10 @@ class Trainer:
                     horizontal_flip_prob, crop_mode, mixup):
         """Resolve the augmentation config into the hashable static tuple
         passed to _train_pipeline_impl (and used as part of the jit key).
-        aug_dtype is resolved from the compute policy here, at trace-key
-        time, exactly like train_pipeline does."""
-        from dorknet_tpu.config import get_compute_dtype
+        aug_dtype and the pallas-augmentation gate are resolved from the
+        global policies here, at trace-key time, exactly like train_pipeline
+        does."""
+        from dorknet_tpu.config import get_compute_dtype, use_pallas
 
         def tt(v):  # tuples all the way down (configs arrive as lists)
             return tuple(tuple(e) if isinstance(e, (list, tuple)) else e
@@ -432,7 +433,7 @@ class Trainer:
 
         return (tuple(out_hw), tt(hsv_pert_tuples), tt(rotation_tuple),
                 horizontal_flip_prob, crop_mode, tt(mixup),
-                jnp.dtype(get_compute_dtype()).name)
+                jnp.dtype(get_compute_dtype()).name, use_pallas())
 
     def _get_aug_step(self, aug):
         key = ("aug",) + aug + self._signature()
@@ -442,12 +443,13 @@ class Trainer:
 
             optimiser = self.optimiser
             trainer = self
-            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype) = aug
+            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype,
+             pallas_aug) = aug
 
             def step(params, states, cache, ema, rng, Xu8, one_hot, lr):
                 x, y = _train_pipeline_impl(
                     rng, Xu8, one_hot, out_hw, hsv, rot, flip, crop_mode,
-                    mixup, "NHWC", "planes", aug_dtype)
+                    mixup, "NHWC", "planes", aug_dtype, pallas_aug)
                 grads, (loss, probs, new_states) = jax.grad(
                     lambda p: trainer._forward_loss(p, states, x, y,
                                                     internal=True),
@@ -502,7 +504,8 @@ class Trainer:
 
             optimiser = self.optimiser
             trainer = self
-            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype) = aug
+            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype,
+             pallas_aug) = aug
 
             def multi(params, states, cache, ema, rngs, Xs, ys, lr):
                 def body(carry, batch):
@@ -510,7 +513,8 @@ class Trainer:
                     rng, Xu8, one_hot = batch
                     x, y = _train_pipeline_impl(
                         rng, Xu8, one_hot, out_hw, hsv, rot, flip,
-                        crop_mode, mixup, "NHWC", "planes", aug_dtype)
+                        crop_mode, mixup, "NHWC", "planes", aug_dtype,
+                        pallas_aug)
                     grads, (loss, probs, new_states) = jax.grad(
                         lambda p: trainer._forward_loss(p, states, x, y,
                                                         internal=True),

@@ -1,0 +1,240 @@
+"""Fused whole-image augmentation kernel: crop + HSV + three-shear rotation
+in ONE VMEM-resident Pallas program per image.
+
+Why: the XLA planes pipeline (data_loading/device_augment.py) implements every
+data-dependent spatial move as barrel-shift rounds — ~21 roll+select passes
+per image for the rotation plus the crop rounds — and XLA materialises most
+rounds to HBM (fusing a depth-7 select/roll DAG would multiply reads), so the
+aug program costs ~1.12x a full train step per trained image and nearly
+halves chained input-pipeline->train throughput. This kernel holds one
+image's planes in VMEM and runs the SAME algorithm (scalar-origin crop as a
+native dynamic slice, cv2-matched HSV, the identical three-shear
+barrel-shift rotation with bf16 lerps) with two HBM passes total: read the
+uint8 precrop image, write the uint8 augmented image.
+
+Parity: stage order, dtypes and rounding follow augment_batch_planes
+bit-for-bit (same _shear_pad geometry, same clip semantics); the horizontal
+flip stays OUTSIDE the kernel (flip_batch_planes — Mosaic cannot extract
+negative-stride vector slices, and the flip is one cheap select pass).
+Reference analogue: the cv2 host augmenter
+(/root/reference/data_loading/image_augmentation.py:16-72) it reproduces.
+
+uint8 images only (the production path — emit_hwc_uint8 loaders); float
+batches fall back to the XLA planes pipeline. Gated by
+``config.set_use_pallas(True)`` / the ``use_pallas_aug`` argument of
+``train_pipeline``; default off until the on-chip A/B (bench pallas section)
+says otherwise on your hardware.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # set True in tests on CPU
+
+
+def _hsv_apply(x_float, sh, ss, sv):
+    """cv2-matched HSV perturbation on one (3, H, W) float BGR image —
+    identical math to device_augment.hsv_batch_planes (the float working
+    dtype is the caller's choice, mirroring that path's hsv_dtype)."""
+    from dorknet_tpu.data_loading.device_augment import (_bgr_to_hsv_chw,
+                                                         _hsv_to_bgr_chw)
+
+    h, s, v = _bgr_to_hsv_chw(x_float)
+    h = jnp.clip(h * sh, 0.0, 179.0)
+    s = jnp.clip(s * ss, 0.0, 255.0)
+    v = jnp.clip(v * sv, 0.0, 255.0)
+    return jnp.clip(_hsv_to_bgr_chw(h, s, v), 0.0, 255.0)
+
+
+def _u8_to_float(x, dt):
+    """uint8 -> float via int32 (Mosaic has no direct uint8<->float casts)."""
+    return x.astype(jnp.int32).astype(dt)
+
+
+def _float_to_u8(x):
+    """float -> uint8 via int32 truncation, clamped to [0, 255] first.
+
+    The clamp is load-bearing: the bf16 round-half-up lerp can produce 256
+    (255.5 is not representable at bf16's unit spacing above 128, so +0.5
+    rounds up), which XLA's direct float->uint8 cast SATURATES to 255 but an
+    int32->uint8 cast would WRAP to 0 — one wrapped pixel then smears through
+    the remaining shear lerps (found as a content-dependent 2x2 mismatch
+    cluster vs the planes path)."""
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _barrel_shift_kernel(x, t, axis, nbits):
+    """device_augment._barrel_shift on an in-register value: variable LEFT
+    shift via nbits rounds of {static roll, select}."""
+    for j in range(nbits):
+        rolled = jnp.roll(x, -(1 << j), axis=axis)
+        x = jnp.where(((t >> j) & 1).astype(bool), rolled, x)
+    return x
+
+
+def _shift_resample_kernel(x, t_float, axis, nbits):
+    """device_augment._shift_resample (uint8 path): shift rounds at 1
+    byte/pixel, bf16 lerp, cv2-style round-half-up back to the input dtype."""
+    t0 = jnp.floor(t_float)
+    frac = t_float - t0
+    x0 = _barrel_shift_kernel(x, t0.astype(jnp.int32), axis, nbits)
+    x1 = jnp.roll(x0, -1, axis=axis)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        frac = frac.astype(jnp.bfloat16)
+        out = ((1.0 - frac) * _u8_to_float(x0, jnp.bfloat16)
+               + frac * _u8_to_float(x1, jnp.bfloat16))
+        return _float_to_u8(out + 0.5)
+    frac = frac.astype(x.dtype)
+    return (1.0 - frac) * x0 + frac * x1
+
+
+def _rotate_one(x, deg, P, nbits, out_hw):
+    """rotate_batch_planes for a single (3, oh, ow) image value (same
+    decomposition, pads, clips — see that docstring for the boundary-band
+    property the oracle tests pin)."""
+    oh, ow = out_hw
+    theta = deg * jnp.pi / 180.0
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    cy, cx = oh / 2.0, ow / 2.0
+
+    x = jnp.pad(x, ((0, 0), (P, P), (P, P)))
+    t_hi = float((1 << nbits) - 1)
+
+    # 2D INTEGER iotas cast to f32 (Mosaic's tpu.iota is integer-only, and
+    # 1D iota is unsupported on TPU)
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+            jnp.float32)
+
+    y_pad = fiota((oh + 2 * P, 1), 0) - P
+    y_content = fiota((oh, 1), 0)
+    x_orig = fiota((1, ow + 2 * P), 1) - P
+
+    def shear_w(img, coef, y_coords):  # in_x = out_x + coef*(y - cy)
+        t = (coef * (y_coords - cy) + P)[None, :, :]  # (1, H', 1)
+        return _shift_resample_kernel(jnp.roll(img, P, axis=2),
+                                      jnp.clip(t, 0.0, t_hi), axis=2,
+                                      nbits=nbits)
+
+    def shear_h(img, coef):  # in_y = out_y + coef*(x - cx)
+        t = (coef * (x_orig - cx) + P)[None, :, :]  # (1, 1, W')
+        return _shift_resample_kernel(jnp.roll(img, P, axis=1),
+                                      jnp.clip(t, 0.0, t_hi), axis=1,
+                                      nbits=nbits)
+
+    x = shear_w(x, a, y_pad)
+    x = shear_h(x, b)[:, P:P + oh]
+    x = shear_w(x, a, y_content)
+    return x[:, :, P:P + ow]
+
+
+def _aug_kernel(params_ref, x_ref, o_ref, *, out_hw, crop_mode, hsv_on,
+                rot_on, P, nbits, hsv_dtype):
+    # params_ref is a scalar-prefetch arg: the FULL (B, 8) table in SMEM,
+    # indexed by this grid step's image id (the (1, 8)-block alternative is
+    # not a legal SMEM BlockSpec — Mosaic wants block dims divisible by the
+    # tile or equal to the array's)
+    i = pl.program_id(0)
+    oh, ow = out_hw
+    H, W = x_ref.shape[2], x_ref.shape[3]
+
+    # crop AT THE REF READ (pl.ds): Mosaic supports dynamic slicing on refs
+    # but not lax.dynamic_slice on values
+    if crop_mode == "random" and (H > oh or W > ow):
+        r = params_ref[i, 0].astype(jnp.int32)
+        c = params_ref[i, 1].astype(jnp.int32)
+        x = x_ref[0, :, pl.ds(r, oh), pl.ds(c, ow)]
+    elif H > oh or W > ow:  # center
+        x = x_ref[0, :, (H - oh) // 2:(H - oh) // 2 + oh,
+                  (W - ow) // 2:(W - ow) // 2 + ow]
+    else:
+        x = x_ref[0]  # (3, oh, ow) uint8
+
+    if hsv_on:
+        hsv = _hsv_apply(_u8_to_float(x, hsv_dtype), params_ref[i, 2],
+                         params_ref[i, 3], params_ref[i, 4])
+        x = _float_to_u8(hsv + 0.5)  # cv2 quantises after every stage
+
+    if rot_on:
+        x = _rotate_one(x, params_ref[i, 5], P, nbits, out_hw)
+
+    o_ref[0] = x
+
+
+def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
+                         rotation_tuple=None, horizontal_flip_prob=None,
+                         crop_mode="random", hsv_dtype=None):
+    """Drop-in for device_augment.augment_batch_planes on uint8 (B,3,H,W)
+    batches: one fused Pallas dispatch for crop+HSV+rotation (grid = one
+    image per step), then the XLA flip select. ``params`` comes from
+    draw_batch_params; ``hsv_dtype`` mirrors that path's HSV working dtype
+    (default float32 for integer inputs)."""
+    from dorknet_tpu.data_loading.device_augment import (_shear_pad,
+                                                         flip_batch_planes)
+
+    assert jnp.issubdtype(x.dtype, jnp.integer), (
+        "pallas augment is the uint8 production path; float batches use the "
+        "XLA planes pipeline")
+    if hsv_pert_tuples is None and rotation_tuple is None:
+        # crop(/flip)-only: nothing to fuse — the kernel would be a bare
+        # uint8 copy (which the interpret-mode CPU compiler also rejects);
+        # the XLA path is already one cheap pass here
+        from dorknet_tpu.data_loading.device_augment import \
+            augment_batch_planes
+
+        return augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
+                                    rotation_tuple, horizontal_flip_prob,
+                                    crop_mode, hsv_dtype=hsv_dtype)
+    B, C, H, W = x.shape
+    oh, ow = out_hw
+
+    # per-image scalar params packed as one (B, 8) fp32 row
+    pvec = jnp.zeros((B, 8), jnp.float32)
+    if crop_mode == "random":
+        pvec = pvec.at[:, 0].set(params["crop_r"].astype(jnp.float32))
+        pvec = pvec.at[:, 1].set(params["crop_c"].astype(jnp.float32))
+    if hsv_pert_tuples is not None:
+        pvec = pvec.at[:, 2:5].set(params["hsv_scales"])
+    if rotation_tuple is not None:
+        pvec = pvec.at[:, 5].set(params["deg"])
+        P = _shear_pad(rotation_tuple, oh, ow)
+        nbits = int(2 * P - 2).bit_length()
+    else:
+        P, nbits = 0, 0
+
+    if hsv_dtype is None:
+        hsv_dtype = jnp.float32
+    kernel = partial(_aug_kernel, out_hw=(oh, ow), crop_mode=crop_mode,
+                     hsv_on=hsv_pert_tuples is not None,
+                     rot_on=rotation_tuple is not None, P=P, nbits=nbits,
+                     hsv_dtype=jnp.dtype(hsv_dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # pvec: full (B, 8) table in SMEM
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, C, H, W), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, C, oh, ow), lambda i, *_: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, oh, ow), x.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=B * C * oh * ow * (3 * nbits + 60),
+            bytes_accessed=B * C * (H * W + oh * ow),
+            transcendentals=0),
+    )(pvec, x)
+
+    if horizontal_flip_prob is not None:
+        out = flip_batch_planes(out, params["flip"])
+    return out

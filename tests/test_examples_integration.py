@@ -419,3 +419,16 @@ def test_data_parallel_training_example():
     from examples import data_parallel_training
 
     data_parallel_training.main()
+
+
+def test_bench_pallas_aug_smoke(monkeypatch):
+    """The pallas_aug bench section (on-chip correctness + A/B) executes on
+    tiny CPU configs (interpret mode; device timings come back None here)."""
+    import dorknet_tpu.ops.pallas.augment as pa
+
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    import bench
+
+    ok, max_diff, _planes_ips, _pallas_ips = bench.bench_pallas_aug(
+        batch=2, image=32)
+    assert ok and max_diff <= 1

@@ -85,3 +85,101 @@ def test_depthwise3x3_grads_match_xla(stride, H):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
                                rtol=1e-4, atol=1e-3)
+
+
+# --------------------------------------------------------------------- #
+# Fused augmentation kernel (ops/pallas/augment.py) vs the XLA planes
+# pipeline it replaces — the planes path is itself pinned against the
+# per-image cv2-matched oracles, so exactness here chains all the way up.
+# --------------------------------------------------------------------- #
+
+AUG_CFG = dict(hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+               rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+               crop_mode="random")
+
+
+@pytest.fixture
+def _aug_interpret(monkeypatch):
+    import dorknet_tpu.ops.pallas.augment as pa
+
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    return pa
+
+
+@pytest.mark.parametrize("cfg", [
+    AUG_CFG,
+    dict(AUG_CFG, crop_mode="center"),
+    dict(AUG_CFG, rotation_tuple=None),           # crop+HSV+flip only
+    dict(AUG_CFG, hsv_pert_tuples=None),          # crop+rotate+flip only
+    dict(hsv_pert_tuples=None, rotation_tuple=None,
+         horizontal_flip_prob=None, crop_mode="random"),  # crop only
+])
+def test_pallas_augment_matches_planes(cfg, _aug_interpret):
+    from dorknet_tpu.data_loading.device_augment import (
+        augment_batch_planes, draw_batch_params)
+
+    rng = np.random.RandomState(0)
+    B, pre, out = 4, 40, (32, 32)
+    x = jnp.asarray(rng.randint(0, 255, (B, 3, pre, pre), dtype=np.uint8))
+    params = draw_batch_params(jax.random.PRNGKey(3), B, (pre, pre), out,
+                               **cfg)
+    want = np.asarray(augment_batch_planes(x, params, out, **cfg))
+    got = np.asarray(_aug_interpret.augment_planes_fused(x, params, out,
+                                                         **cfg))
+    np.testing.assert_array_equal(got, want)  # same algorithm: bit-exact
+
+
+def test_pallas_augment_bf16_hsv_dtype_matches_planes(_aug_interpret):
+    """Under the bf16 policy the planes path runs HSV in bf16 — the kernel's
+    hsv_dtype mirrors it bit-for-bit."""
+    from dorknet_tpu.data_loading.device_augment import (
+        augment_batch_planes, draw_batch_params)
+
+    rng = np.random.RandomState(1)
+    B, pre, out = 3, 30, (24, 24)
+    x = jnp.asarray(rng.randint(0, 255, (B, 3, pre, pre), dtype=np.uint8))
+    params = draw_batch_params(jax.random.PRNGKey(5), B, (pre, pre), out,
+                               **AUG_CFG)
+    want = np.asarray(augment_batch_planes(x, params, out,
+                                           hsv_dtype="bfloat16", **AUG_CFG))
+    got = np.asarray(_aug_interpret.augment_planes_fused(
+        x, params, out, hsv_dtype="bfloat16", **AUG_CFG))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_train_pipeline_pallas_gate_matches_planes(_aug_interpret):
+    """train_pipeline(use_pallas_aug=True) equals the default planes path end
+    to end (including -128 shift and mixup) — the production switch."""
+    from dorknet_tpu.data_loading.device_augment import train_pipeline
+
+    rng = np.random.RandomState(2)
+    B, pre, out = 4, 40, (32, 32)
+    x = jnp.asarray(rng.randint(0, 255, (B, pre, pre, 3), dtype=np.uint8))
+    oh = jnp.asarray(np.eye(5, dtype=np.float32)[rng.randint(0, 5, B)])
+    key = jax.random.PRNGKey(9)
+    cfg = dict(AUG_CFG, mixup=(0.0, 0.3))
+    want_x, want_y = train_pipeline(key, x, oh, out, use_pallas_aug=False,
+                                    **cfg)
+    got_x, got_y = train_pipeline(key, x, oh, out, use_pallas_aug=True,
+                                  **cfg)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
+    np.testing.assert_array_equal(np.asarray(got_y), np.asarray(want_y))
+
+
+def test_pallas_augment_lowers_to_tpu_mosaic():
+    """jax.export cross-platform lowering runs the REAL Mosaic kernel
+    compiler (no TPU needed) — catches unsupported-primitive regressions
+    interpret mode hides (integer rem, jnp.select's argmax, f32 iota,
+    value-level dynamic_slice, uint8<->float casts were all found this way)."""
+    from dorknet_tpu.data_loading.device_augment import draw_batch_params
+    from dorknet_tpu.ops.pallas.augment import augment_planes_fused
+
+    B, pre, out = 2, 281, (225, 225)
+    x = jnp.zeros((B, 3, pre, pre), jnp.uint8)
+    for hsv_dtype in (None, "bfloat16"):
+        params = draw_batch_params(jax.random.PRNGKey(1), B, (pre, pre), out,
+                                   **AUG_CFG)
+        fn = jax.jit(lambda x, p, hd=hsv_dtype: augment_planes_fused(
+            x, p, out, hsv_dtype=hd, **AUG_CFG))
+        exported = jax.export.export(fn, platforms=["tpu"])(x, params)
+        assert len(exported.mlir_module_serialized) > 0
