@@ -622,10 +622,12 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
         aug_dtype = jnp.dtype(get_compute_dtype()).name
     if use_pallas_aug is None:
         # same stale-trace discipline as aug_dtype: the pallas gate is read
-        # here, not inside the cached jit
+        # here, not inside the cached jit. Backend-guarded like the conv
+        # gate (ops/conv.py): on non-TPU backends the global flag falls back
+        # to the XLA planes path instead of failing to compile.
         from dorknet_tpu.config import use_pallas
 
-        use_pallas_aug = use_pallas()
+        use_pallas_aug = use_pallas() and jax.default_backend() == "tpu"
     return _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
                                 hsv_pert_tuples, rotation_tuple,
                                 horizontal_flip_prob, crop_mode, mixup,
@@ -648,7 +650,7 @@ def _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
         params = draw_batch_params(k_aug, x.shape[0], x.shape[2:], out_hw,
                                    hsv_pert_tuples, rotation_tuple,
                                    horizontal_flip_prob, crop_mode)
-        if use_pallas_aug and jnp.issubdtype(x.dtype, jnp.integer):
+        if use_pallas_aug and x.dtype == jnp.uint8:
             # one VMEM-resident kernel for crop+HSV+rotation instead of the
             # barrel-shift round chain (ops/pallas/augment.py); flip rides
             # along inside augment_planes_fused as the XLA select pass

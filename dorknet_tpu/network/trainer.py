@@ -417,23 +417,31 @@ class Trainer:
     # + image_data_loader.py mixup); here it is the same XLA program as the
     # gradient step.
     # ------------------------------------------------------------------ #
-    @staticmethod
-    def _freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+    def _freeze_aug(self, out_hw, hsv_pert_tuples, rotation_tuple,
                     horizontal_flip_prob, crop_mode, mixup):
         """Resolve the augmentation config into the hashable static tuple
         passed to _train_pipeline_impl (and used as part of the jit key).
         aug_dtype and the pallas-augmentation gate are resolved from the
         global policies here, at trace-key time, exactly like train_pipeline
-        does."""
+        does. The pallas gate additionally requires a real TPU backend AND a
+        non-sharded trainer: under a mesh, pallas_call has no SPMD
+        partitioning rule, so GSPMD would all-gather the batch-sharded
+        uint8 stack to every device and redo the full-batch aug grid per
+        replica — numerically right, silently unscalable (the same hole the
+        conv gate's use_spmd_safe_grads() check closes)."""
         from dorknet_tpu.config import get_compute_dtype, use_pallas
 
         def tt(v):  # tuples all the way down (configs arrive as lists)
             return tuple(tuple(e) if isinstance(e, (list, tuple)) else e
                          for e in v) if isinstance(v, (list, tuple)) else v
 
+        pallas_aug = (use_pallas()
+                      and self.batch_sharding is None
+                      and self.param_sharding is None
+                      and jax.default_backend() == "tpu")
         return (tuple(out_hw), tt(hsv_pert_tuples), tt(rotation_tuple),
                 horizontal_flip_prob, crop_mode, tt(mixup),
-                jnp.dtype(get_compute_dtype()).name, use_pallas())
+                jnp.dtype(get_compute_dtype()).name, pallas_aug)
 
     def _get_aug_step(self, aug):
         key = ("aug",) + aug + self._signature()

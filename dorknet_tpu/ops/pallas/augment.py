@@ -69,21 +69,16 @@ def _float_to_u8(x):
     return jnp.clip(x, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _barrel_shift_kernel(x, t, axis, nbits):
-    """device_augment._barrel_shift on an in-register value: variable LEFT
-    shift via nbits rounds of {static roll, select}."""
-    for j in range(nbits):
-        rolled = jnp.roll(x, -(1 << j), axis=axis)
-        x = jnp.where(((t >> j) & 1).astype(bool), rolled, x)
-    return x
-
-
 def _shift_resample_kernel(x, t_float, axis, nbits):
     """device_augment._shift_resample (uint8 path): shift rounds at 1
-    byte/pixel, bf16 lerp, cv2-style round-half-up back to the input dtype."""
+    byte/pixel, bf16 lerp, cv2-style round-half-up back to the input dtype.
+    The barrel shift itself is IMPORTED from device_augment (pure jnp,
+    Mosaic-compatible as-is) so the two paths can never diverge."""
+    from dorknet_tpu.data_loading.device_augment import _barrel_shift
+
     t0 = jnp.floor(t_float)
     frac = t_float - t0
-    x0 = _barrel_shift_kernel(x, t0.astype(jnp.int32), axis, nbits)
+    x0 = _barrel_shift(x, t0.astype(jnp.int32), axis, nbits)
     x1 = jnp.roll(x0, -1, axis=axis)
     if jnp.issubdtype(x.dtype, jnp.integer):
         frac = frac.astype(jnp.bfloat16)
@@ -179,9 +174,9 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     from dorknet_tpu.data_loading.device_augment import (_shear_pad,
                                                          flip_batch_planes)
 
-    assert jnp.issubdtype(x.dtype, jnp.integer), (
-        "pallas augment is the uint8 production path; float batches use the "
-        "XLA planes pipeline")
+    assert x.dtype == jnp.uint8, (
+        "pallas augment is the uint8 production path (the kernel's rounding "
+        "clamps to [0, 255]); other dtypes use the XLA planes pipeline")
     if hsv_pert_tuples is None and rotation_tuple is None:
         # crop(/flip)-only: nothing to fuse — the kernel would be a bare
         # uint8 copy (which the interpret-mode CPU compiler also rejects);
@@ -194,6 +189,25 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
                                     crop_mode, hsv_dtype=hsv_dtype)
     B, C, H, W = x.shape
     oh, ow = out_hw
+
+    # VMEM-bound guard (same discipline as ops/conv.py's _vmem_ok): beyond
+    # the flagship's sizes the per-image working set (fp32 HSV temporaries +
+    # padded bf16 shear planes + the uint8 input block) overflows ~16 MB of
+    # VMEM and Mosaic fails the whole compile — fall back to the XLA planes
+    # path instead. Conservative live-set model: 6 fp32 HSV temps on the
+    # crop + 4 bf16 temps on the padded rotation planes + input + output.
+    Pg = (_shear_pad(rotation_tuple, oh, ow)
+          if rotation_tuple is not None else 0)
+    _vmem_est = (6 * C * oh * ow * 4
+                 + 4 * C * (oh + 2 * Pg) * (ow + 2 * Pg) * 2
+                 + C * H * W + C * oh * ow)
+    if _vmem_est > 10 * 1024 * 1024:
+        from dorknet_tpu.data_loading.device_augment import \
+            augment_batch_planes
+
+        return augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
+                                    rotation_tuple, horizontal_flip_prob,
+                                    crop_mode, hsv_dtype=hsv_dtype)
 
     # per-image scalar params packed as one (B, 8) fp32 row
     pvec = jnp.zeros((B, 8), jnp.float32)

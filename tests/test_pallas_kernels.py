@@ -183,3 +183,54 @@ def test_pallas_augment_lowers_to_tpu_mosaic():
             x, p, out, hsv_dtype=hd, **AUG_CFG))
         exported = jax.export.export(fn, platforms=["tpu"])(x, params)
         assert len(exported.mlir_module_serialized) > 0
+
+
+def test_pallas_augment_gates(monkeypatch, _aug_interpret):
+    """The production gates: (a) the global pallas flag falls back to the
+    XLA planes path on non-TPU backends instead of failing to compile;
+    (b) non-uint8 batches never enter the kernel (its rounding clamps to
+    [0,255]); (c) configs whose per-image working set exceeds the VMEM
+    bound fall back to the planes path without building a kernel."""
+    import dorknet_tpu
+    import dorknet_tpu.ops.pallas.augment as pa
+    from dorknet_tpu.data_loading.device_augment import (
+        augment_batch_planes, draw_batch_params, train_pipeline)
+
+    rng = np.random.RandomState(0)
+    B, pre, out = 2, 40, (32, 32)
+    x_hwc = jnp.asarray(rng.randint(0, 255, (B, pre, pre, 3), dtype=np.uint8))
+    oh = jnp.asarray(np.eye(3, dtype=np.float32)[rng.randint(0, 3, B)])
+
+    # (a) global flag on a CPU backend resolves to the planes path (a pallas
+    # compile would raise "Only interpret mode is supported on CPU backend")
+    dorknet_tpu.set_use_pallas(True)
+    try:
+        out_x, _ = train_pipeline(jax.random.PRNGKey(0), x_hwc, oh, out,
+                                  **AUG_CFG)
+        assert np.isfinite(np.asarray(out_x, np.float32)).all()
+    finally:
+        dorknet_tpu.set_use_pallas(False)
+
+    # (b) non-uint8 ints are refused by the kernel entry point
+    params = draw_batch_params(jax.random.PRNGKey(1), B, (pre, pre), out,
+                               **AUG_CFG)
+    x_i32 = jnp.asarray(rng.randint(0, 255, (B, 3, pre, pre)), jnp.int32)
+    with pytest.raises(AssertionError, match="uint8"):
+        _aug_interpret.augment_planes_fused(x_i32, params, out, **AUG_CFG)
+
+    # (c) VMEM guard: a 640px output exceeds the bound -> planes fallback,
+    # bit-equal, and pallas_call is never invoked
+    big_pre, big_out = 800, (640, 640)
+    xb = jnp.asarray(rng.randint(0, 255, (1, 3, big_pre, big_pre),
+                                 dtype=np.uint8))
+    pb = draw_batch_params(jax.random.PRNGKey(2), 1, (big_pre, big_pre),
+                           big_out, **AUG_CFG)
+    want = np.asarray(augment_batch_planes(xb, pb, big_out, **AUG_CFG))
+
+    def boom(*a, **k):
+        raise AssertionError("pallas_call must not run above the VMEM bound")
+
+    monkeypatch.setattr(pa.pl, "pallas_call", boom)
+    got = np.asarray(_aug_interpret.augment_planes_fused(xb, pb, big_out,
+                                                         **AUG_CFG))
+    np.testing.assert_array_equal(got, want)
