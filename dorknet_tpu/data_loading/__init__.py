@@ -2,7 +2,7 @@ from dorknet_tpu.data_loading.MNIST_data_loading import get_MNIST_data, epoch_im
 from dorknet_tpu.data_loading.image_data_loader import ImageDataLoader
 from dorknet_tpu.data_loading.image_preprocessor import ImagePreprocessor
 from dorknet_tpu.data_loading.image_augmentation import ImageAugmenter
-from dorknet_tpu.data_loading.prefetch import device_prefetch
+from dorknet_tpu.data_loading.prefetch import device_prefetch, stack_batches
 
 __all__ = [
     "get_MNIST_data",
@@ -11,4 +11,5 @@ __all__ = [
     "ImagePreprocessor",
     "ImageAugmenter",
     "device_prefetch",
+    "stack_batches",
 ]

@@ -10,6 +10,7 @@ so we additionally pipeline the device_put: batches are dispatched to the device
 so this costs nothing on the host."""
 
 import collections
+import itertools
 
 import numpy as np
 import jax
@@ -34,3 +35,24 @@ def device_prefetch(iterator, size=2, sharding=None):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def stack_batches(iterator, k):
+    """Group ``k`` consecutive loader batches into stacked arrays for the
+    one-dispatch-per-K-steps trainers: an iterator of (X, y, one_hot) tuples
+    becomes an iterator of (X_stack (k, ...), y_stack, one_hot_stack).
+
+    Pairs with ``Trainer.multi_step`` / ``multi_step_augmented`` (and
+    composes with device_prefetch on either side). A final group with fewer
+    than k batches is DROPPED — a ragged stack would compile a second scan
+    program for one use; run the tail through ``step``/``step_augmented``
+    yourself if those images matter."""
+    it = iter(iterator)
+    while True:
+        group = list(itertools.islice(it, k))
+        if len(group) < k:
+            return
+        yield tuple(np.stack(parts)
+                    if isinstance(parts[0], (np.ndarray, np.generic))
+                    else list(parts)  # non-arrays (e.g. None labels) pass
+                    for parts in zip(*group))

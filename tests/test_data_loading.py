@@ -594,3 +594,54 @@ def test_loader_rejects_empty_dataset_and_empty_class(tmp_path):
     l = ImageDataLoader(str(mixed), 4, pp, class_balance=False,
                         start_thread=False)
     assert len(l.samples) == 1
+
+
+def test_stack_batches_groups_and_drops_tail():
+    """stack_batches: k consecutive (X, y, oh) batches -> one stacked tuple;
+    a short tail is dropped (ragged stacks would compile a one-off scan)."""
+    from dorknet_tpu.data_loading import stack_batches
+
+    batches = [(np.full((2, 3), i, np.float32), np.array([i, i]),
+                np.eye(3, dtype=np.float32)[[i % 3, i % 3]])
+               for i in range(7)]
+    out = list(stack_batches(iter(batches), 3))
+    assert len(out) == 2  # 7 batches -> two groups of 3, tail of 1 dropped
+    Xs, ys, ohs = out[0]
+    assert Xs.shape == (3, 2, 3) and ys.shape == (3, 2) and ohs.shape == (3, 2, 3)
+    assert Xs[1, 0, 0] == 1.0 and out[1][0][0, 0, 0] == 3.0
+
+
+def test_stack_batches_feeds_multi_step_augmented():
+    """The stacking helper drives the one-dispatch-per-K fused trainer."""
+    import jax
+
+    from dorknet_tpu.data_loading import stack_batches
+    from dorknet_tpu.layers import (BatchNormLayer, ConvLayer, DenseLayer,
+                                    GlobalAveragePoolingLayer, ReLu,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    np.random.seed(3)
+    net = FeedForwardNetwork("stacked")
+    net.add_layer(ConvLayer("c", filter_block_shape=(8, 3, 3, 3),
+                            with_bias=False))
+    net.add_layer(BatchNormLayer("b", incoming_chans=8))
+    net.add_layer(ReLu("r"))
+    net.add_layer(GlobalAveragePoolingLayer("g"))
+    net.add_layer(DenseLayer("d", incoming_chans=8, output_dim=3))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+
+    rng = np.random.RandomState(0)
+    batches = [(rng.randint(0, 255, (4, 30, 30, 3), dtype=np.uint8),
+                None, np.eye(3, dtype=np.float32)[rng.randint(0, 3, 4)])
+               for _ in range(4)]
+    K = 2
+    key = jax.random.PRNGKey(0)
+    for Xs, _, ohs in stack_batches(iter(batches), K):
+        key, k = jax.random.split(key)
+        losses, preds = tr.multi_step_augmented(
+            jax.random.split(k, K), Xs, ohs, (24, 24), mixup=(0.0, 0.3),
+            rotation_tuple=(-10.0, 10.0))
+        assert losses.shape == (K,) and np.isfinite(np.asarray(losses)).all()
