@@ -624,10 +624,17 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
         # same stale-trace discipline as aug_dtype: the pallas gate is read
         # here, not inside the cached jit. Backend-guarded like the conv
         # gate (ops/conv.py): on non-TPU backends the global flag falls back
-        # to the XLA planes path instead of failing to compile.
+        # to the XLA planes path instead of failing to compile. Sharded
+        # inputs also fall back: pallas_call has no SPMD partitioning rule,
+        # so GSPMD would all-gather the batch to every device and redo the
+        # full-batch aug grid per replica (the Trainer applies the same
+        # guard for its sharded step traces).
         from dorknet_tpu.config import use_pallas
 
         use_pallas_aug = use_pallas() and jax.default_backend() == "tpu"
+        s = getattr(images_precrop, "sharding", None)
+        if s is not None and len(getattr(s, "device_set", ())) > 1:
+            use_pallas_aug = False
     return _train_pipeline_impl(key, images_precrop, one_hot, out_hw,
                                 hsv_pert_tuples, rotation_tuple,
                                 horizontal_flip_prob, crop_mode, mixup,

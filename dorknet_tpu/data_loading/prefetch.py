@@ -14,6 +14,7 @@ import itertools
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def device_prefetch(iterator, size=2, sharding=None):
@@ -47,12 +48,18 @@ def stack_batches(iterator, k):
     than k batches is DROPPED — a ragged stack would compile a second scan
     program for one use; run the tail through ``step``/``step_augmented``
     yourself if those images matter."""
+    def stack(parts):
+        if isinstance(parts[0], jax.Array):
+            return jnp.stack(parts)  # device-side stack: batches coming out
+            # of device_prefetch stay on device (fetching them back through
+            # the host link would defeat the prefetch)
+        if isinstance(parts[0], (np.ndarray, np.generic)):
+            return np.stack(parts)
+        return list(parts)  # non-arrays (e.g. None labels) pass through
+
     it = iter(iterator)
     while True:
         group = list(itertools.islice(it, k))
         if len(group) < k:
             return
-        yield tuple(np.stack(parts)
-                    if isinstance(parts[0], (np.ndarray, np.generic))
-                    else list(parts)  # non-arrays (e.g. None labels) pass
-                    for parts in zip(*group))
+        yield tuple(stack(parts) for parts in zip(*group))

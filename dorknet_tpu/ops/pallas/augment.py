@@ -73,7 +73,11 @@ def _shift_resample_kernel(x, t_float, axis, nbits):
     """device_augment._shift_resample (uint8 path): shift rounds at 1
     byte/pixel, bf16 lerp, cv2-style round-half-up back to the input dtype.
     The barrel shift itself is IMPORTED from device_augment (pure jnp,
-    Mosaic-compatible as-is) so the two paths can never diverge."""
+    Mosaic-compatible as-is); the lerp/rounding lines are deliberately kept
+    textually parallel to _shift_resample's — only the casts differ (Mosaic
+    needs the int32 route + explicit clamp; XLA's direct cast saturates) —
+    and test_pallas_augment_matches_planes pins the two bit-exact, so any
+    future divergence fails CI rather than shipping."""
     from dorknet_tpu.data_loading.device_augment import _barrel_shift
 
     t0 = jnp.floor(t_float)
@@ -177,6 +181,16 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     assert x.dtype == jnp.uint8, (
         "pallas augment is the uint8 production path (the kernel's rounding "
         "clamps to [0, 255]); other dtypes use the XLA planes pipeline")
+    if crop_mode not in ("random", "center") and x.shape[2:] != tuple(out_hw):
+        # the planes path applies NO crop for other crop modes — the kernel
+        # has no no-crop-with-resize notion, so keep the drop-in contract by
+        # falling back rather than silently centre-cropping
+        from dorknet_tpu.data_loading.device_augment import \
+            augment_batch_planes
+
+        return augment_batch_planes(x, params, out_hw, hsv_pert_tuples,
+                                    rotation_tuple, horizontal_flip_prob,
+                                    crop_mode, hsv_dtype=hsv_dtype)
     if hsv_pert_tuples is None and rotation_tuple is None:
         # crop(/flip)-only: nothing to fuse — the kernel would be a bare
         # uint8 copy (which the interpret-mode CPU compiler also rejects);

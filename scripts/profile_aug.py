@@ -50,12 +50,14 @@ def main():
     float((x @ x)[0, 0])
     print(f"link probe: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    rng = np.random.RandomState(0)
+    # bench data created ON DEVICE (CLAUDE.md: a bulk device_put can stall
+    # 30+ min through a degraded tunnel window)
     key = jax.random.PRNGKey(0)
-    Xu = jax.device_put(rng.randint(0, 255, (batch, precrop, precrop, 3),
-                                    dtype=np.uint8))
-    oh = jax.device_put(np.eye(120, dtype=np.float32)[
-        rng.randint(0, 120, batch)])
+    Xu = jax.random.randint(jax.random.PRNGKey(1),
+                            (batch, precrop, precrop, 3), 0, 256, jnp.uint8)
+    oh = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 120),
+        120, dtype=jnp.float32)
 
     dorknet_tpu.set_compute_dtype(jnp.bfloat16)
     try:

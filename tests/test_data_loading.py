@@ -645,3 +645,21 @@ def test_stack_batches_feeds_multi_step_augmented():
             jax.random.split(k, K), Xs, ohs, (24, 24), mixup=(0.0, 0.3),
             rotation_tuple=(-10.0, 10.0))
         assert losses.shape == (K,) and np.isfinite(np.asarray(losses)).all()
+
+
+def test_stack_batches_composes_with_device_prefetch():
+    """Batches already on device (out of device_prefetch) stack ON DEVICE —
+    fetching them back through the host link would defeat the prefetch."""
+    import jax
+
+    from dorknet_tpu.data_loading import device_prefetch, stack_batches
+
+    batches = [(np.full((2, 4), i, np.float32), None,
+                np.eye(2, dtype=np.float32)[[i % 2, i % 2]])
+               for i in range(4)]
+    out = list(stack_batches(device_prefetch(iter(batches), size=2), 2))
+    assert len(out) == 2
+    Xs, _, ohs = out[0]
+    assert isinstance(Xs, jax.Array) and Xs.shape == (2, 2, 4)
+    assert isinstance(ohs, jax.Array)
+    np.testing.assert_array_equal(np.asarray(Xs[1]), batches[1][0])
