@@ -1,8 +1,10 @@
 from dorknet_tpu.network.feed_forward_network import FeedForwardNetwork
 from dorknet_tpu.network.trainer import Trainer
-from dorknet_tpu.network.inference import InferenceRunner
+from dorknet_tpu.network.inference import (InferenceRunner,
+                                            load_serving_program)
 from dorknet_tpu.network.quantized import QuantizedInferenceRunner
 from dorknet_tpu.network.serving import BatchingServer
 
 __all__ = ["FeedForwardNetwork", "Trainer", "InferenceRunner",
-           "QuantizedInferenceRunner", "BatchingServer"]
+           "QuantizedInferenceRunner", "BatchingServer",
+           "load_serving_program"]

@@ -172,3 +172,34 @@ def test_batching_server_backpressure():
         assert srv.submit(x).result(timeout=30).shape == (4,)
     finally:
         srv.close()
+
+
+def test_export_program_roundtrip(tmp_path):
+    """InferenceRunner.export_program -> load_serving_program: the reloaded
+    artifact reproduces the runner bit-for-bit with no model code (weights
+    and running stats baked in), for the fp32 runner, the BN-folded runner
+    and the int8 quantised runner."""
+    import jax.numpy as jnp
+
+    from dorknet_tpu.network import (QuantizedInferenceRunner,
+                                     load_serving_program)
+
+    runner = _trained_runner(batch_size=4, fold_bn=False)
+    net = runner.network
+    Xq = np.random.RandomState(5).randn(4, 3, 12, 12).astype(np.float32)
+
+    for fold in (False, True):
+        r = InferenceRunner(net, batch_size=4, fold_bn=fold)
+        want = r.predict_probs(Xq)
+        path = tmp_path / "serve_{}.bin".format(fold)
+        blob = r.export_program((12, 12), path=str(path))
+        assert path.read_bytes() == blob
+        served = load_serving_program(str(path))
+        got = np.asarray(served(jnp.asarray(Xq)))
+        np.testing.assert_array_equal(got, want)
+
+    qr = QuantizedInferenceRunner(net, batch_size=4)
+    qr.calibrate([Xq])
+    want = qr.predict_probs(Xq)
+    served = load_serving_program(qr.export_program((12, 12)))
+    np.testing.assert_array_equal(np.asarray(served(jnp.asarray(Xq))), want)
