@@ -10,6 +10,7 @@ serving ladder and reports latency/agreement for each rung:
   4. QuantizedInferenceRunner           (int8 MXU, calibrated scales)
   5. ...serving the EMA weights         (trainer.ema_network())
   6. BatchingServer                     (dynamic batching front-end)
+  7. export_program / load_serving_program (portable serving artifact)
 
 Run:  python -m examples.serving_demo
 
@@ -119,6 +120,22 @@ def main(steps=60):
         print("BatchingServer: 64 concurrent singles -> {} device "
               "dispatch(es); top-1 agreement with plain forward: {:.3f}"
               .format(srv.dispatches, (batched.argmax(1) == ref).mean()))
+
+    # 7) deployment artifact: the compiled serving program serialized with
+    # the weights baked in — reloads with jax alone, no model code
+    import tempfile
+
+    import jax.numpy as jnp
+    from dorknet_tpu.network import load_serving_program
+
+    with tempfile.NamedTemporaryFile(suffix=".serving") as f:
+        blob = rf.export_program(X_eval.shape[2:], path=f.name)
+        served = load_serving_program(f.name)
+        exported = np.asarray(served(jnp.asarray(X_eval, jnp.float32)))
+        print("export_program: {} KB artifact; reloaded top-1 agreement "
+              "with the runner it serialized: {:.3f}".format(
+                  len(blob) // 1024,
+                  (exported.argmax(1) == rf.predict(X_eval)).mean()))
 
 
 if __name__ == "__main__":
