@@ -26,12 +26,10 @@ batches fall back to the XLA planes pipeline. Gated by
 says otherwise on your hardware.
 """
 
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
