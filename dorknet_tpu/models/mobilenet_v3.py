@@ -1,6 +1,8 @@
-"""MobileNet-V3-Small — stretch layer-zoo model exercising squeeze-excite
-channel gating, hard-swish/hard-sigmoid activations and 5x5 depthwise kernels
-on top of the inverted-residual structure MobileNet-V2 introduced.
+"""MobileNet-V3 (Small + Large) — stretch layer-zoo models exercising
+squeeze-excite channel gating, hard-swish/hard-sigmoid activations and 5x5
+depthwise kernels on top of the inverted-residual structure MobileNet-V2
+introduced. Small and Large share one builder and differ only in the stage
+table and head widths (the paper's two published configurations).
 
 Not in the reference (its zoo stops at the depthwise-separable ResNet-18,
 reference examples/imagenet_dogs_225_resnet_18_depsep.py); included as the
@@ -23,21 +25,13 @@ from dorknet_tpu.regularisers.l2 import l2
 from dorknet_tpu.models.mobilenet_v2 import _make_divisible
 
 
-class MobileNetV3Small(FeedForwardNetwork):
+class _MobileNetV3(FeedForwardNetwork):
+    """Shared V3 builder; subclasses supply the stage table + head widths."""
+
     # (kernel k, expanded channels, out channels, use_se, use_hswish, stride)
-    _CFG = [
-        (3, 16, 16, True, False, 2),
-        (3, 72, 24, False, False, 2),
-        (3, 88, 24, False, False, 1),
-        (5, 96, 40, True, True, 2),
-        (5, 240, 40, True, True, 1),
-        (5, 240, 40, True, True, 1),
-        (5, 120, 48, True, True, 1),
-        (5, 144, 48, True, True, 1),
-        (5, 288, 96, True, True, 2),
-        (5, 576, 96, True, True, 1),
-        (5, 576, 96, True, True, 1),
-    ]
+    _CFG = []
+    _HEAD_CONV = 576   # channels of the final pointwise conv
+    _FC_DIM = 1024     # hidden width of the two-stage classifier head
 
     def _act(self, name, hswish):
         return HardSwish(name) if hswish else ReLu(name)
@@ -97,7 +91,7 @@ class MobileNetV3Small(FeedForwardNetwork):
             self._bneck("bneck{}".format(i), in_ch, k, exp_ch, out_ch,
                         se, hs, s)
             in_ch = out_ch
-        last_conv = _make_divisible(576 * width_mult)
+        last_conv = _make_divisible(self._HEAD_CONV * width_mult)
         self.add_layer(PointwiseConvLayer(
             "head", filter_block_shape=(last_conv, in_ch), with_bias=False,
             weight_regulariser=l2(0.0001)))
@@ -105,10 +99,52 @@ class MobileNetV3Small(FeedForwardNetwork):
         self.add_layer(HardSwish("head_hswish"))
         self.add_layer(GlobalAveragePoolingLayer("global_pool"))
         self.add_layer(DenseLayer("head_fc", incoming_chans=last_conv,
-                                  output_dim=1024,
+                                  output_dim=self._FC_DIM,
                                   weight_regulariser=l2(0.0001)))
         self.add_layer(HardSwish("head_fc_hswish"))
-        self.add_layer(DenseLayer("classifier", incoming_chans=1024,
+        self.add_layer(DenseLayer("classifier", incoming_chans=self._FC_DIM,
                                   output_dim=num_classes,
                                   weight_regulariser=l2(0.0001)))
         self.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+
+class MobileNetV3Small(_MobileNetV3):
+    _CFG = [
+        (3, 16, 16, True, False, 2),
+        (3, 72, 24, False, False, 2),
+        (3, 88, 24, False, False, 1),
+        (5, 96, 40, True, True, 2),
+        (5, 240, 40, True, True, 1),
+        (5, 240, 40, True, True, 1),
+        (5, 120, 48, True, True, 1),
+        (5, 144, 48, True, True, 1),
+        (5, 288, 96, True, True, 2),
+        (5, 576, 96, True, True, 1),
+        (5, 576, 96, True, True, 1),
+    ]
+    _HEAD_CONV = 576
+    _FC_DIM = 1024
+
+
+class MobileNetV3Large(_MobileNetV3):
+    _CFG = [
+        (3, 16, 16, False, False, 1),
+        (3, 64, 24, False, False, 2),
+        (3, 72, 24, False, False, 1),
+        (5, 72, 40, True, False, 2),
+        (5, 120, 40, True, False, 1),
+        (5, 120, 40, True, False, 1),
+        (3, 240, 80, False, True, 2),
+        (3, 200, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 480, 112, True, True, 1),
+        (3, 672, 112, True, True, 1),
+        (5, 672, 160, True, True, 2),
+        (5, 960, 160, True, True, 1),
+        (5, 960, 160, True, True, 1),
+    ]
+    _HEAD_CONV = 960
+    _FC_DIM = 1280
+
+

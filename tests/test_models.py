@@ -212,3 +212,30 @@ def test_gradcam_on_mobilenet_v3_two_stage_head():
     assert np.isfinite(c).all() and c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
     s = np.asarray(scores)
     np.testing.assert_allclose(s.sum(1), 1.0, rtol=1e-4)
+
+
+def test_mobilenet_v3_large(tmp_path):
+    """MNv3-Large: shares the Small builder (stage table + head widths
+    differ — 960-ch head conv, 1280-wide classifier stage, and a first
+    bneck with NO expansion since exp==in_ch); one step, test-mode forward
+    and the h5+json round-trip at width 0.5."""
+    from dorknet_tpu.models import MobileNetV3Large
+
+    np.random.seed(0)
+    net = MobileNetV3Large("mnv3l", num_classes=6, width_mult=0.5)
+    # the paper's Large table: first bneck has exp == in_ch -> no expand
+    # pointwise; its depthwise works on the stem's 8 (16*0.5) channels
+    names = [l.layer_name for l in net.layers]
+    assert "bneck0_expand" not in names and any(
+        n == "bneck0_dw" or n.startswith("bneck0") for n in names)
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 6, tmp_path)
+
+
+def test_mobilenet_v3_large_convergence_smoke():
+    from dorknet_tpu.models import MobileNetV3Large
+
+    np.random.seed(0)
+    _converges_on_channel_task(MobileNetV3Large("mnv3l-conv", num_classes=4,
+                                                width_mult=0.5), 4,
+                               steps=60, lr=2e-3, signal=0.5)
