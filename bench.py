@@ -24,10 +24,27 @@ import jax
 
 # Persistent compilation cache: repeated bench runs (and the driver's run)
 # reuse compiled executables instead of re-paying 30-60 s compiles through the
-# (often degraded) TPU tunnel.
+# (often degraded) TPU tunnel. The directory name must NOT come from
+# jax.default_backend(): that initialises the backend at import time, which
+# blocks forever through a dead tunnel — before main()'s probe can run.
+# Cache entries are keyed on platform/compile options, so one dir is safe;
+# the env suffix just keeps forced-CPU test runs out of the TPU dir.
+import os as _os
+
+# honour a forced platform (the env var alone does not override the axon
+# plugin — same treatment as tests/conftest.py); no-op for the driver's
+# real-TPU invocation, makes `JAX_PLATFORMS=cpu python bench.py` honest
+_forced = _os.environ.get("JAX_PLATFORMS")
+if _forced:
+    try:
+        jax.config.update("jax_platforms", _forced)
+    except Exception:
+        pass
+
 try:
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_comp_cache_" + jax.default_backend())
+                      "/tmp/jax_comp_cache_"
+                      + _os.environ.get("JAX_PLATFORMS", "auto"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
@@ -807,8 +824,54 @@ def bench_spmd_dw_check(B=8, H=14, C=64):
     return ok, max_err
 
 
+def _emit(best, best_basis, note=None):
+    """Print the single driver-contract JSON line."""
+    out = {
+        "metric": "resnet18_depsep_225px_train_images_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        # "wall" = timed host-side with a value-fetch sync; "device" = the
+        # jax.profiler on-chip step time (what a non-tunnel host observes —
+        # PERF.md round-2 item 8). Component numbers are in the stderr log.
+        "basis": best_basis,
+    }
+    if note:
+        out["note"] = note
+    print(json.dumps(out), flush=True)
+
+
+def _probe_device(timeout_s):
+    """Run a tiny matmul+fetch in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has shown multi-hour outages where even backend
+    enumeration blocks forever (PERF.md round-3 session-3). A hung device
+    call cannot be interrupted from Python in-process (the signal handler
+    only runs between bytecodes of the blocked main thread), so the probe
+    must be a child process the parent can kill. Returns (ok, seconds)."""
+    import subprocess
+    code = (
+        "import os, time, jax, jax.numpy as jnp\n"
+        # the env var alone does not override the axon plugin (CLAUDE.md);
+        # honour a forced platform the way the test conftest does
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "t0 = time.perf_counter()\n"
+        "x = jnp.ones((256, 256))\n"
+        "print(float((x @ x)[0, 0]), time.perf_counter() - t0)\n"
+    )
+    t0 = time.perf_counter()
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+        return True, time.perf_counter() - t0
+    except Exception:
+        return False, time.perf_counter() - t0
+
+
 def main():
     import os
+    import threading
     import jax.numpy as jnp
 
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
@@ -817,6 +880,39 @@ def main():
     results = {}
     best = 0.0
     best_basis = "wall"  # "device" when the headline came from profiler time
+
+    # Tunnel-health gate: if a trivial matmul can't complete in the probe
+    # window, nothing below can either — emit the contract line and exit
+    # instead of hanging the driver for its whole budget.
+    probe_s = float(os.environ.get("BENCH_PROBE_S", "150"))
+    if probe_s > 0:
+        ok, took = _probe_device(probe_s)
+        log(f"device probe: ok={ok} {took:.1f}s (limit {probe_s:.0f}s)")
+        if not ok:
+            # a degraded-but-alive window (matmuls 20-100 s) can fail one
+            # probe yet still yield device-time numbers — retry with double
+            # the window before writing the round off
+            ok, took = _probe_device(2 * probe_s)
+            log(f"device probe retry: ok={ok} {took:.1f}s")
+        if not ok:
+            _emit(0.0, "wall", note="device probe failed: tunnel unresponsive")
+            sys.exit(1)
+
+    # Watchdog: if a section's device call hangs past the budget (tunnel
+    # dying mid-run), a daemon thread force-emits results-so-far. os._exit
+    # is required — a hung RPC blocks normal interpreter shutdown.
+    done = threading.Event()
+
+    def _watchdog():
+        grace = 120.0
+        while not done.wait(timeout=10.0):
+            if time.monotonic() > deadline + grace:
+                log("WATCHDOG: budget exceeded with a hung device call; "
+                    "emitting results-so-far", results)
+                _emit(best, best_basis, note="watchdog: section hung")
+                os._exit(0 if best > 0 else 1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     def consider(value, basis):
         nonlocal best, best_basis
@@ -1014,17 +1110,9 @@ def main():
         except Exception as e:
             log(f"primary retry failed: {e}")
 
+    done.set()
     log("all results:", results)
-    print(json.dumps({
-        "metric": "resnet18_depsep_225px_train_images_per_sec_per_chip",
-        "value": round(best, 1),
-        "unit": "images/sec",
-        "vs_baseline": None,
-        # "wall" = timed host-side with a value-fetch sync; "device" = the
-        # jax.profiler on-chip step time (what a non-tunnel host observes —
-        # PERF.md round-2 item 8). Component numbers are in the stderr log.
-        "basis": best_basis,
-    }))
+    _emit(best, best_basis)
     if best <= 0:
         sys.exit(1)  # no config measured — signal a broken run, not 0 img/s
 

@@ -350,6 +350,29 @@ def test_bench_pallas_check_smoke():
     assert ok, f"pallas depthwise mismatch: max rel err {max_err}"
 
 
+def test_bench_probe_and_watchdog_plumbing():
+    """The dead-tunnel guards around bench.main() (round-3): a failing probe
+    returns (False, t) instead of hanging, and _emit prints the one-line
+    driver contract. The axon outage that motivated these blocked even
+    backend enumeration, so main() must never touch the device before the
+    subprocess probe has passed."""
+    import io
+    import contextlib
+    import json as _json
+
+    import bench
+
+    ok, took = bench._probe_device(0.01)  # cannot start python in 10 ms
+    assert not ok and took < 5
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(123.4, "device", note="n")
+    out = _json.loads(buf.getvalue())
+    assert out["value"] == 123.4 and out["basis"] == "device"
+    assert out["note"] == "n" and out["unit"] == "images/sec"
+
+
 def test_make_demo_assets_regenerates(tmp_path):
     """Demo-asset parity (VERDICT r2 missing #2): the committed demo_assets/
     tree (inputs + CAM overlays + evaluate-style annotations — the repo's
