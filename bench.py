@@ -881,18 +881,25 @@ def main():
     best = 0.0
     best_basis = "wall"  # "device" when the headline came from profiler time
 
+    def time_left():
+        return deadline - time.monotonic()
+
     # Tunnel-health gate: if a trivial matmul can't complete in the probe
     # window, nothing below can either — emit the contract line and exit
     # instead of hanging the driver for its whole budget.
-    probe_s = float(os.environ.get("BENCH_PROBE_S", "150"))
+    # both probe windows are clamped to the remaining budget: BENCH_BUDGET_S
+    # is the wall-time contract and the watchdog is not armed yet here
+    probe_s = min(float(os.environ.get("BENCH_PROBE_S", "150")),
+                  max(time_left(), 10.0))
     if probe_s > 0:
         ok, took = _probe_device(probe_s)
         log(f"device probe: ok={ok} {took:.1f}s (limit {probe_s:.0f}s)")
-        if not ok:
+        if not ok and time_left() > probe_s:
             # a degraded-but-alive window (matmuls 20-100 s) can fail one
-            # probe yet still yield device-time numbers — retry with double
-            # the window before writing the round off
-            ok, took = _probe_device(2 * probe_s)
+            # probe yet still yield device-time numbers — retry with a
+            # doubled (budget-clamped) window before writing the round off
+            retry_s = min(2 * probe_s, max(time_left(), 10.0))
+            ok, took = _probe_device(retry_s)
             log(f"device probe retry: ok={ok} {took:.1f}s")
         if not ok:
             _emit(0.0, "wall", note="device probe failed: tunnel unresponsive")
@@ -900,17 +907,30 @@ def main():
 
     # Watchdog: if a section's device call hangs past the budget (tunnel
     # dying mid-run), a daemon thread force-emits results-so-far. os._exit
-    # is required — a hung RPC blocks normal interpreter shutdown.
+    # is required — a hung RPC blocks normal interpreter shutdown. The
+    # emit-once lock keeps the "prints ONE JSON line" driver contract even
+    # when main finishes in the same instant the watchdog fires.
     done = threading.Event()
+    emit_lock = threading.Lock()
+    emitted = [False]
+
+    def _final_emit(note=None):
+        with emit_lock:
+            if emitted[0]:
+                return False
+            emitted[0] = True
+            _emit(best, best_basis, note=note)
+            return True
 
     def _watchdog():
         grace = 120.0
         while not done.wait(timeout=10.0):
             if time.monotonic() > deadline + grace:
-                log("WATCHDOG: budget exceeded with a hung device call; "
-                    "emitting results-so-far", results)
-                _emit(best, best_basis, note="watchdog: section hung")
-                os._exit(0 if best > 0 else 1)
+                if _final_emit(note="watchdog: section hung"):
+                    log("WATCHDOG: budget exceeded with a hung device call; "
+                        "emitted results-so-far", results)
+                    os._exit(0 if best > 0 else 1)
+                return  # main emitted first — it owns shutdown
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -918,9 +938,6 @@ def main():
         nonlocal best, best_basis
         if value is not None and value > best:
             best, best_basis = value, basis
-
-    def time_left():
-        return deadline - time.monotonic()
 
     # SECTION ORDER (VERDICT r2 item 3): headline first but CAPPED at 35% of
     # the budget, then the round-mandated serving / stretch / pallas_ok
@@ -1112,7 +1129,7 @@ def main():
 
     done.set()
     log("all results:", results)
-    _emit(best, best_basis)
+    _final_emit()
     if best <= 0:
         sys.exit(1)  # no config measured — signal a broken run, not 0 img/s
 

@@ -109,6 +109,9 @@ class _MobileNetV3(FeedForwardNetwork):
 
 
 class MobileNetV3Small(_MobileNetV3):
+    """MobileNet-V3-Small (Howard et al. 2019, table 2): 11 bneck stages,
+    576-channel head conv, 1024-wide two-stage classifier head."""
+
     _CFG = [
         (3, 16, 16, True, False, 2),
         (3, 72, 24, False, False, 2),
@@ -127,6 +130,10 @@ class MobileNetV3Small(_MobileNetV3):
 
 
 class MobileNetV3Large(_MobileNetV3):
+    """MobileNet-V3-Large (Howard et al. 2019, table 1): 15 bneck stages
+    (the first with no expansion since exp == in_ch), 960-channel head
+    conv, 1280-wide two-stage classifier head."""
+
     _CFG = [
         (3, 16, 16, False, False, 1),
         (3, 64, 24, False, False, 2),

@@ -119,6 +119,49 @@ class InferenceRunner:
                 probs = probs[:-pad]
             yield (probs,) + tuple(batch[2:])
 
+    # one method serves both runners: QuantizedInferenceRunner subclasses
+    # InferenceRunner and keeps the same (_params, _states, X) -> probs _fn
+    # contract, so its int8 program exports identically
+    def export_program(self, input_hw, channels=3, path=None, platforms=None):
+        """Serialize THE serving program — the same fixed-shape test-mode
+        forward ``_run_fixed`` compiles — as a portable ``jax.export``
+        artifact (versioned StableHLO with the current params/running stats
+        baked in as constants). This is the deployment story the reference
+        lacks entirely (its serving path is the in-process eval loop,
+        reference: network/feed_forward_network.py:72-88): ship one file to
+        the serving fleet, reload it with ``load_serving_program`` with no
+        model code, and it keeps running across framework versions.
+
+        input_hw: spatial size the program is specialised to (fixed-shape
+        serving contract). platforms: jax.export platform list, default the
+        current backend — pass ["tpu"] to cross-compile a TPU artifact from
+        a CPU host. Returns the bytes; also writes ``path`` when given.
+
+        Export is single-device by design: a runner built with
+        batch_sharding compiles a mesh-placed program that a standalone
+        artifact cannot reproduce, so exporting one raises — build an
+        unsharded runner (same network) to export."""
+        if self.batch_sharding is not None:
+            raise ValueError(
+                "export_program: this runner was built with batch_sharding; "
+                "the exported artifact would silently run unsharded. Build "
+                "an unsharded InferenceRunner over the same network to "
+                "export a serving program.")
+        self._ensure_current_trace()
+        X = jnp.zeros((self.batch_size, channels) + tuple(input_hw),
+                      jnp.float32)
+        params, states = self._params, self._states
+        fn = self._fn
+
+        exported = jax.export.export(
+            jax.jit(lambda x: fn(params, states, x)),
+            platforms=list(platforms) if platforms else None)(X)
+        blob = exported.serialize()
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(blob)
+        return blob
+
 
 def load_serving_program(path_or_bytes):
     """Reload a program written by ``InferenceRunner.export_program`` as a
@@ -133,37 +176,3 @@ def load_serving_program(path_or_bytes):
     return jax.jit(exported.call)
 
 
-def _export_program(self, input_hw, channels=3, path=None, platforms=None):
-    """Serialize THE serving program — the same fixed-shape test-mode
-    forward ``_run_fixed`` compiles — as a portable ``jax.export`` artifact
-    (versioned StableHLO with the current params/running stats baked in as
-    constants). This is the deployment story the reference lacks entirely
-    (its serving path is the in-process eval loop, reference:
-    network/feed_forward_network.py:72-88): ship one file to the serving
-    fleet, reload it with ``load_serving_program`` with no model code, and
-    it keeps running across framework versions.
-
-    input_hw: spatial size the program is specialised to (fixed-shape
-    serving contract). platforms: jax.export platform list, default the
-    current backend — pass ["tpu"] to cross-compile a TPU artifact from a
-    CPU host. Returns the bytes; also writes ``path`` when given."""
-    self._ensure_current_trace()
-    X = jnp.zeros((self.batch_size, channels) + tuple(input_hw),
-                  jnp.float32)
-    params, states = self._params, self._states
-    fn = self._fn
-
-    exported = jax.export.export(
-        jax.jit(lambda x: fn(params, states, x)),
-        platforms=list(platforms) if platforms else None)(X)
-    blob = exported.serialize()
-    if path is not None:
-        with open(path, "wb") as f:
-            f.write(blob)
-    return blob
-
-
-# one method serves both runners: QuantizedInferenceRunner subclasses
-# InferenceRunner and keeps the same (_params, _states, X) -> probs _fn
-# contract, so its int8 program exports identically
-InferenceRunner.export_program = _export_program

@@ -3,6 +3,7 @@
 single-device (global jit semantics)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -391,3 +392,7 @@ def test_sharded_inference_runner_matches_unsharded():
     # ragged batch goes through the pad-to-compiled-shape path sharded too
     np.testing.assert_allclose(r_sharded.predict_probs(X[:5]),
                                p_single[:5], rtol=1e-5, atol=1e-7)
+    # a sharded runner refuses export: the artifact would silently run
+    # unsharded (export_program's single-device contract)
+    with pytest.raises(ValueError, match="batch_sharding"):
+        r_sharded.export_program((9, 9))
