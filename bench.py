@@ -42,11 +42,10 @@ if _forced:
         pass
 
 try:
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_comp_cache_"
-                      + _os.environ.get("JAX_PLATFORMS", "auto"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from dorknet_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/jax_comp_cache_"
+                             + _os.environ.get("JAX_PLATFORMS", "auto"))
 except Exception:
     pass
 

@@ -113,6 +113,38 @@ def get_spmd_dw_rule() -> str:
     return _SPMD_DW_RULE
 
 
+def enable_compilation_cache(cache_dir=None):
+    """Enable JAX's persistent compilation cache for this process.
+
+    First-time XLA compilation of the fused train step is the dominant cost of
+    a process start on TPU (20-40 s per program through the tunnel); with the
+    cache on, restarts — serving rollouts, preemption resume via
+    ``utils.experiment.Experiment``, repeated bench runs — reload compiled
+    programs from disk in milliseconds. Entries are keyed on platform, program
+    and compile options, so a shared directory is safe across models.
+
+    ``cache_dir`` defaults to ``~/.cache/dorknet_tpu/xla_cache_<platform>``
+    (suffixed by ``$JAX_PLATFORMS`` so forced-CPU test runs stay out of the
+    TPU cache directory). Returns the directory used. Thresholds are set to
+    cache every program regardless of size or compile time — the framework's
+    jitted steps are few and large, so there is no small-entry noise to
+    filter.
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "dorknet_tpu",
+            "xla_cache_" + os.environ.get("JAX_PLATFORMS", "auto"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return cache_dir
+
+
 def trace_signature():
     """Hashable tuple of every global policy read at TRACE time by the ops
     layer (compute dtype, pallas gate, matmul precision, SPMD-safe grad

@@ -394,3 +394,24 @@ def test_api_reference_up_to_date():
     assert committed == generate(), (
         "docs/api_reference.md is stale — run "
         "`python -m scripts.make_api_reference` and commit the result")
+
+
+def test_enable_compilation_cache(tmp_path):
+    """config.enable_compilation_cache persists compiled programs to disk so
+    process restarts skip XLA compilation (the dominant cold-start cost on
+    TPU). Entries must appear after a jit executes."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from dorknet_tpu import config
+
+    d = config.enable_compilation_cache(str(tmp_path / "xla_cache"))
+    try:
+        f = jax.jit(lambda x: (x * 2.5 + 1.0).sum())
+        assert np.isclose(float(f(jnp.arange(7.0))), 59.5)
+        assert os.path.isdir(d)
+        assert len(os.listdir(d)) > 0, "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
