@@ -31,6 +31,7 @@ from dorknet_tpu.optimisers import SGDMomentum
 from dorknet_tpu.data_loading import (
     ImageDataLoader, ImageAugmenter, ImagePreprocessor, device_prefetch,
 )
+from dorknet_tpu.utils.metrics import MetricsLogger
 
 # Script-level constants in the reference's style (its examples ARE its config
 # system, SURVEY §5); each reads an env override with the reference value as
@@ -98,6 +99,11 @@ if __name__ == "__main__":
     logging.basicConfig(filename="logging/" + experiment_name + ".log",
                         level=logging.DEBUG)
     logging.getLogger().addHandler(logging.StreamHandler())
+    # machine-readable sidecar next to the free-text log: one JSON line per
+    # record, append-mode so restart runs extend the same curve
+    metrics = MetricsLogger("logging/" + experiment_name + ".metrics.jsonl")
+    metrics.bind(batch=BATCH_SIZE, image_size=IMAGE_SIZE,
+                 on_device_augment=ON_DEVICE_AUGMENT)
     network = ResNet18(experiment_name, load_layers=True)
     if not os.path.isdir(experiment_name):
         os.mkdir(experiment_name)
@@ -171,6 +177,9 @@ if __name__ == "__main__":
                 correct_total += int(np.sum(np.asarray(y_batch) == preds_np))
                 if i % 10 == 0:
                     logging.info("Running loss average: {}".format(running_loss_average))
+                    metrics.log(epoch=e, step=i, loss=loss,
+                                loss_avg=running_loss_average,
+                                lr=sgd.learning_rate)
                 if (i % 100 == 0) and (i > 0):
                     logging.info(
                         "Running Ave Loss: {}, Loss: {}, Accuracy over current epoch so far: {} ".format(
@@ -181,6 +190,8 @@ if __name__ == "__main__":
                 max(1, int(VAL_SET_SIZE / BATCH_SIZE))), BATCH_SIZE,
                 VAL_SET_SIZE)
             logging.info("Test acc: {}".format(test_acc))
+            metrics.log(epoch=e, test_acc=test_acc,
+                        epoch_train_acc=correct_total / (steps * BATCH_SIZE))
             network.save_weights_to_h5(os.path.join(
                 experiment_name, "epoch_{}_testacc_{}.h5".format(e, test_acc)))
             if ema_decay is not None:

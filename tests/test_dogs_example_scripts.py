@@ -105,6 +105,13 @@ def test_training_script_runs_main_body(dogs_env):
     with open(exp / "CITinyDogs.json") as f:
         # name + 17 top-level layers + loss (composite blocks nest in reprs)
         assert len(json.load(f)) >= 18
+    # the machine-readable metrics sidecar parses and carries the epoch record
+    from dorknet_tpu.utils.metrics import read_metrics
+
+    recs = read_metrics(str(dogs_env / "logging" /
+                            "CITinyDogs.metrics.jsonl"))
+    assert any("test_acc" in r for r in recs)
+    assert any("loss" in r for r in recs)
 
 
 def test_training_script_restart_with_on_device_augment(dogs_env):

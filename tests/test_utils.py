@@ -415,3 +415,30 @@ def test_enable_compilation_cache(tmp_path):
         assert len(os.listdir(d)) > 0, "no cache entries written"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    """MetricsLogger: bound constants merge into every record, jax scalars
+    fetch to floats, append-mode resume extends the file, and read_metrics
+    drops a truncated final line."""
+    import jax.numpy as jnp
+
+    from dorknet_tpu.utils.metrics import MetricsLogger, read_metrics
+
+    p = str(tmp_path / "m.jsonl")
+    with MetricsLogger(p) as m:
+        m.bind(model="net", batch=16)
+        m.log(step=0, loss=jnp.float32(2.5))
+        m.log(step=1, loss=1.25, note="ok")
+    # resume appends rather than truncating (the Experiment restart flow)
+    with MetricsLogger(p) as m:
+        m.log(step=2, loss=0.5)
+    recs = read_metrics(p)
+    assert [r["step"] for r in recs] == [0, 1, 2]
+    assert all(r["model"] == "net" and r["batch"] == 16 for r in recs[:2])
+    assert isinstance(recs[0]["loss"], float) and recs[0]["loss"] == 2.5
+    assert "ts" in recs[0]
+    # truncated tail (killed mid-write) is tolerated
+    with open(p, "a") as f:
+        f.write('{"step": 3, "lo')
+    assert [r["step"] for r in read_metrics(p)] == [0, 1, 2]
