@@ -7,10 +7,11 @@ per image for the rotation plus the crop rounds — and XLA materialises most
 rounds to HBM (fusing a depth-7 select/roll DAG would multiply reads), so the
 aug program costs ~1.12x a full train step per trained image and nearly
 halves chained input-pipeline->train throughput. This kernel holds one
-image's planes in VMEM and runs the SAME algorithm (scalar-origin crop as a
-native dynamic slice, cv2-matched HSV, the identical three-shear
-barrel-shift rotation with bf16 lerps) with two HBM passes total: read the
-uint8 precrop image, write the uint8 augmented image.
+image's planes in VMEM and runs the SAME algorithm (crop_batch_planes'
+barrel-shift crop in-register — Mosaic rejects dynamic-origin ref reads as
+not tile-aligned — cv2-matched HSV, the identical three-shear barrel-shift
+rotation with bf16 lerps) with two HBM passes total: read the uint8 precrop
+image, write the uint8 augmented image.
 
 Parity: stage order, dtypes and rounding follow augment_batch_planes
 bit-for-bit (same _shear_pad geometry, same clip semantics); the horizontal
@@ -142,15 +143,34 @@ def _aug_kernel(params_ref, x_ref, o_ref, *, out_hw, crop_mode, hsv_on,
     oh, ow = out_hw
     H, W = x_ref.shape[2], x_ref.shape[3]
 
-    # crop AT THE REF READ (pl.ds): Mosaic supports dynamic slicing on refs
-    # but not lax.dynamic_slice on values
+    # Crop on the VALUE, not the ref: a dynamic-origin ref read
+    # (x_ref[0, :, pl.ds(r, oh), pl.ds(c, ow)]) passes Mosaic's front-end but
+    # the real libtpu AOT compile rejects it — "cannot statically prove that
+    # index in dimension 2 is a multiple of 8" (a random crop origin is not
+    # sublane/lane-tile-aligned; found on-chip, PERF.md round-3 session-4).
+    # The whole image block is VMEM-resident anyway, so run
+    # crop_batch_planes' own formulation in-register instead: barrel shift by
+    # the origin, then slice from 0 (every remaining offset static + aligned).
+    # Identical wrap/zero-fill semantics => still bit-exact vs the planes
+    # path.
+    from dorknet_tpu.data_loading.device_augment import _barrel_shift
+
     if crop_mode == "random" and (H > oh or W > ow):
         r = params_ref[i, 0].astype(jnp.int32)
         c = params_ref[i, 1].astype(jnp.int32)
-        x = x_ref[0, :, pl.ds(r, oh), pl.ds(c, ow)]
-    elif H > oh or W > ow:  # center
-        x = x_ref[0, :, (H - oh) // 2:(H - oh) // 2 + oh,
-                  (W - ow) // 2:(W - ow) // 2 + ow]
+        x = x_ref[0]  # full (3, H, W) block: static, tile-aligned read
+        if H > oh:
+            x = _barrel_shift(x, r, axis=1,
+                              nbits=int(H - oh).bit_length())[:, :oh]
+        if W > ow:
+            x = _barrel_shift(x, c, axis=2,
+                              nbits=int(W - ow).bit_length())[:, :, :ow]
+    elif H > oh or W > ow:  # center: static roll keeps the slice at origin 0
+        x = x_ref[0]
+        if H > oh:
+            x = jnp.roll(x, -((H - oh) // 2), axis=1)[:, :oh]
+        if W > ow:
+            x = jnp.roll(x, -((W - ow) // 2), axis=2)[:, :, :ow]
     else:
         x = x_ref[0]  # (3, oh, ow) uint8
 
@@ -207,12 +227,13 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     # padded bf16 shear planes + the uint8 input block) overflows ~16 MB of
     # VMEM and Mosaic fails the whole compile — fall back to the XLA planes
     # path instead. Conservative live-set model: 6 fp32 HSV temps on the
-    # crop + 4 bf16 temps on the padded rotation planes + input + output.
+    # crop + 4 bf16 temps on the padded rotation planes + input + output
+    # (+ 2 full-size uint8 barrel-shift temps from the in-register crop).
     Pg = (_shear_pad(rotation_tuple, oh, ow)
           if rotation_tuple is not None else 0)
     _vmem_est = (6 * C * oh * ow * 4
                  + 4 * C * (oh + 2 * Pg) * (ow + 2 * Pg) * 2
-                 + C * H * W + C * oh * ow)
+                 + 3 * C * H * W + C * oh * ow)
     if _vmem_est > 10 * 1024 * 1024:
         from dorknet_tpu.data_loading.device_augment import \
             augment_batch_planes
