@@ -1,4 +1,5 @@
-"""Chip-free TRUE TPU AOT compile check for every Pallas kernel.
+"""Chip-free TRUE TPU AOT compile check for Pallas kernels AND the sharded
+flagship train step.
 
 Why this exists: the jax.export cross-lowering test
 (tests/test_pallas_kernels.py::test_pallas_augment_lowers_to_tpu_mosaic)
@@ -12,6 +13,12 @@ libtpu (`jax.experimental.topologies.get_topology_desc`) and runs the full
 XLA+Mosaic AOT pipeline against it, exactly what the axon terminal's
 chipless compile-helper does.
 
+The ``flagship_dp_tp_step`` case AOT-compiles the production DP×TP-sharded
+fused train step (cross-replica BN psum, grad all-reduce, the
+custom_partitioning SPMD-safe depthwise dw rule) for a real 2x2 v5e mesh —
+multi-chip evidence one tier stronger than the virtual-CPU dryrun, since the
+collectives lower through the real TPU backend.
+
 Usage:
     python -m scripts.aot_check [case ...]     # default: all cases
 
@@ -22,15 +29,17 @@ available (libtpu missing/unloadable) — callers treat 3 as SKIP.
 import os
 import sys
 
-# Before jax import: let jax auto-pick platforms (the topology API loads the
-# tpu plugin itself) and stop libtpu from querying cloud metadata.
-os.environ["JAX_PLATFORMS"] = ""
+# Before jax import: pin the CONCRETE backend to cpu (case construction may
+# allocate small arrays; auto-discovery could block on a degraded axon
+# tunnel) and stop libtpu from querying cloud metadata. The topology API
+# loads the tpu PJRT plugin itself, independent of the platform setting.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-jax.config.update("jax_platforms", "")
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -41,46 +50,59 @@ def _topology():
     from jax.experimental import topologies
 
     # v5e:2x2 is the smallest name the installed libtpu accepts with its
-    # default 2x2x1 chips-per-host bounds; we compile single-device programs
-    # for device 0 of it, so the extra abstract chips are inert.
+    # default 2x2x1 chips-per-host bounds; single-device cases compile for
+    # device 0 of it, the sharded case uses all four abstract chips.
     return topologies.get_topology_desc("v5e:2x2", platform="tpu")
 
 
-def _compile(fn, args_shapes, sharding):
-    """jit + lower + FULL AOT compile of fn on the abstract device.
-    ``args_shapes`` is a tuple of (pytrees of) ShapeDtypeStructs."""
-    shard_tree = tuple(jax.tree.map(lambda _: sharding, args_shapes))
-    return jax.jit(fn, in_shardings=shard_tree).lower(*args_shapes).compile()
+def _sds(tree, sharding_tree):
+    """ShapeDtypeStructs mirroring ``tree``, carrying the target shardings —
+    lowering honours per-arg shardings embedded in the avals, so no
+    in_shardings plumbing is needed."""
+    return jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        tree, sharding_tree)
 
 
-def case_augment():
+def _compile(fn, args):
+    lowerable = fn if hasattr(fn, "lower") else jax.jit(fn)
+    return lowerable.lower(*args).compile()
+
+
+# --------------------------------------------------------------------------- #
+# Cases: each takes the topology, returns (callable, arg ShapeDtypeStructs).
+# --------------------------------------------------------------------------- #
+
+def case_augment(topo):
     """Fused crop+HSV+rotation kernel at the flagship shapes."""
     from dorknet_tpu.ops.pallas import augment as A
 
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
     B, C, H, W, S = 2, 3, 288, 384, 225
-    xs = jax.ShapeDtypeStruct((B, C, H, W), jnp.uint8)
-    ps = {
-        "crop_r": jax.ShapeDtypeStruct((B,), jnp.int32),
-        "crop_c": jax.ShapeDtypeStruct((B,), jnp.int32),
-        "hsv_scales": jax.ShapeDtypeStruct((B, 3), jnp.float32),
-        "deg": jax.ShapeDtypeStruct((B,), jnp.float32),
-        "flip": jax.ShapeDtypeStruct((B,), jnp.int32),
-    }
+    xs = jax.ShapeDtypeStruct((B, C, H, W), jnp.uint8, sharding=s)
 
-    def fn(x, p):
+    def p(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt, sharding=s)
+
+    ps = {"crop_r": p((B,), jnp.int32), "crop_c": p((B,), jnp.int32),
+          "hsv_scales": p((B, 3), jnp.float32), "deg": p((B,), jnp.float32),
+          "flip": p((B,), jnp.int32)}
+
+    def fn(x, prm):
         return A.augment_planes_fused(
-            x, p, (S, S), hsv_pert_tuples=((0.9, 1.1),) * 3,
+            x, prm, (S, S), hsv_pert_tuples=((0.9, 1.1),) * 3,
             rotation_tuple=(-10.0, 10.0), horizontal_flip_prob=0.5,
             crop_mode="random")
 
     return fn, (xs, ps)
 
 
-def _case_depthwise(stride):
+def _case_depthwise(topo, stride):
     from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
 
-    xs = jax.ShapeDtypeStruct((4, 32, 32, 128), jnp.bfloat16)
-    ws = jax.ShapeDtypeStruct((128, 3, 3), jnp.float32)
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
+    xs = jax.ShapeDtypeStruct((4, 32, 32, 128), jnp.bfloat16, sharding=s)
+    ws = jax.ShapeDtypeStruct((128, 3, 3), jnp.float32, sharding=s)
 
     def fn(x, w):
         # value_and_grad compiles the fwd kernel AND the fused dx/dw VJP
@@ -93,27 +115,79 @@ def _case_depthwise(stride):
     return fn, (xs, ws)
 
 
-def case_depthwise_s1():
-    return _case_depthwise(1)
+def case_depthwise_s1(topo):
+    return _case_depthwise(topo, 1)
 
 
-def case_depthwise_s2():
-    return _case_depthwise(2)
+def case_depthwise_s2(topo):
+    return _case_depthwise(topo, 2)
 
 
-def case_matmul():
+def case_matmul(topo):
     from dorknet_tpu.ops.pallas.matmul import matmul
 
-    a = jax.ShapeDtypeStruct((512, 384), jnp.float32)
-    b = jax.ShapeDtypeStruct((384, 256), jnp.float32)
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
+    a = jax.ShapeDtypeStruct((512, 384), jnp.float32, sharding=s)
+    b = jax.ShapeDtypeStruct((384, 256), jnp.float32, sharding=s)
     return (lambda a, b: matmul(a, b)), (a, b)
 
 
-def case_bn_stats():
+def case_bn_stats(topo):
     from dorknet_tpu.ops.pallas.bn_stats import batch_norm_stats
 
-    xs = jax.ShapeDtypeStruct((8, 56, 56, 128), jnp.float32)
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
+    xs = jax.ShapeDtypeStruct((8, 56, 56, 128), jnp.float32, sharding=s)
     return batch_norm_stats, (xs,)
+
+
+def case_flagship_dp_tp_step(topo):
+    """The production fused train step, DP×TP-sharded over a REAL 2x2 v5e
+    mesh: cross-replica BN, grad all-reduce and TP boundary collectives all
+    lower through the actual TPU backend (the virtual-CPU dryrun proves
+    numerics; this proves the TPU lowering compiles). Uses the "taps"
+    SPMD-safe dw rule: XLA cannot AOT-serialise custom_partitioning
+    callbacks without a live backend ("Custom emitter for
+    CustomSPMDPartitioning not found"), so the default "conv" rule is
+    covered by the on-chip bench (spmd_dw_ok) and the virtual-CPU equality
+    gates instead."""
+    import numpy as np
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dorknet_tpu import config
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.parallel import (batch_sharding,
+                                      model_parallel_param_shardings)
+
+    mesh = Mesh(np.array(topo.devices[:4]).reshape(2, 2), ("data", "model"))
+    net = ResNet18("aot", num_classes=120)
+    opt = SGDMomentum(net, 0.015, 0.9)
+    bsh = batch_sharding(mesh, "data")
+    trainer = Trainer(net, opt, batch_sharding=bsh)
+
+    params = net.gather_params()
+    states = net.gather_states()
+    cache = opt.init_cache(params)  # same treedef as params (zeros_like)
+    p_shard = model_parallel_param_shardings(net, mesh, axis="model")
+    rep = NamedSharding(mesh, P())
+
+    args = (
+        _sds(params, p_shard),
+        _sds(states, jax.tree.map(lambda _: rep, states)),
+        _sds(cache, p_shard),
+        None,  # no EMA shadow configured
+        jax.ShapeDtypeStruct((4, 3, 64, 64), jnp.float32, sharding=bsh),
+        jax.ShapeDtypeStruct((4, 120), jnp.float32, sharding=bsh),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
+    )
+    # the SPMD-safe grad rules are read at TRACE time (lower()); the sharded
+    # trainer would enter this context itself in step() — mirror it here and
+    # leave it set for the lifetime of this short-lived process
+    config.spmd_safe_grads(True).__enter__()
+    config.set_spmd_dw_rule("taps")
+    return trainer._get_step(), args
 
 
 CASES = {
@@ -122,6 +196,7 @@ CASES = {
     "depthwise_s2": case_depthwise_s2,
     "matmul": case_matmul,
     "bn_stats": case_bn_stats,
+    "flagship_dp_tp_step": case_flagship_dp_tp_step,
 }
 
 
@@ -136,13 +211,12 @@ def main(argv):
     except Exception as e:
         print(f"SKIP: no tpu topology available ({type(e).__name__}: {e})")
         return 3
-    sharding = jax.sharding.SingleDeviceSharding(topo.devices[0])
 
     failed = []
     for name in names:
-        fn, shapes = CASES[name]()
+        fn, shapes = CASES[name](topo)
         try:
-            compiled = _compile(fn, shapes, sharding)
+            compiled = _compile(fn, shapes)
             mem = compiled.memory_analysis()
             print(f"OK   {name}: code={mem.generated_code_size_in_bytes}B "
                   f"temp={mem.temp_size_in_bytes}B")
