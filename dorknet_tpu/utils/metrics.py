@@ -59,6 +59,15 @@ class MetricsLogger:
         os.makedirs(d, exist_ok=True)
         self._bound = {}
         self._f = open(path, "a" if resume else "w")
+        if resume and self._f.tell() > 0:
+            # a run killed mid-write leaves a truncated line with no trailing
+            # newline; appending straight onto it would merge the first
+            # resumed record into an unparseable line — terminate it first
+            with open(path, "rb") as chk:
+                chk.seek(-1, os.SEEK_END)
+                if chk.read(1) != b"\n":
+                    self._f.write("\n")
+                    self._f.flush()
 
     def bind(self, **constants):
         self._bound.update({k: _scalar(v) for k, v in constants.items()})
@@ -85,8 +94,9 @@ class MetricsLogger:
 
 
 def read_metrics(path):
-    """Parse a metrics JSONL file back into a list of dicts. Tolerates a
-    truncated final line (a run killed mid-write) by dropping it."""
+    """Parse a metrics JSONL file back into a list of dicts. Unparseable
+    lines (e.g. one truncated by a mid-write kill) are dropped individually,
+    so records after them — a resumed run's — still load."""
     out = []
     with open(path) as f:
         for line in f:
@@ -96,5 +106,5 @@ def read_metrics(path):
             try:
                 out.append(json.loads(line))
             except json.JSONDecodeError:
-                break
+                continue
     return out

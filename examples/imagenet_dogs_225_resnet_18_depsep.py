@@ -201,3 +201,5 @@ if __name__ == "__main__":
         train_data_loader.stop_thread()
         val_data_loader.stop_thread()
         raise
+    finally:
+        metrics.close()

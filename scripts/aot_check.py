@@ -73,8 +73,12 @@ def _compile(fn, args):
 # Cases: each takes the topology, returns (callable, arg ShapeDtypeStructs).
 # --------------------------------------------------------------------------- #
 
-def case_augment(topo):
-    """Fused crop+HSV+rotation kernel at the flagship shapes."""
+def _case_augment(topo, crop_mode):
+    """Fused crop+HSV+rotation kernel at the flagship shapes, with the
+    PRODUCTION augmentation config (examples AUG_CFG / bench.py: rotation
+    ±15°, the dogs HSV ranges) — Mosaic legalisation is shape-dependent,
+    so the gate must compile the exact padded shear-plane sizes production
+    traces."""
     from dorknet_tpu.ops.pallas import augment as A
 
     s = jax.sharding.SingleDeviceSharding(topo.devices[0])
@@ -90,11 +94,21 @@ def case_augment(topo):
 
     def fn(x, prm):
         return A.augment_planes_fused(
-            x, prm, (S, S), hsv_pert_tuples=((0.9, 1.1),) * 3,
-            rotation_tuple=(-10.0, 10.0), horizontal_flip_prob=0.5,
-            crop_mode="random")
+            x, prm, (S, S),
+            hsv_pert_tuples=((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)),
+            rotation_tuple=(-15.0, 15.0), horizontal_flip_prob=0.5,
+            crop_mode=crop_mode)
 
     return fn, (xs, ps)
+
+
+def case_augment(topo):
+    return _case_augment(topo, "random")
+
+
+def case_augment_center(topo):
+    # the center-crop branch lowers differently (static roll + slice)
+    return _case_augment(topo, "center")
 
 
 def _case_depthwise(topo, stride):
@@ -183,15 +197,27 @@ def case_flagship_dp_tp_step(topo):
         jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
     )
     # the SPMD-safe grad rules are read at TRACE time (lower()); the sharded
-    # trainer would enter this context itself in step() — mirror it here and
-    # leave it set for the lifetime of this short-lived process
-    config.spmd_safe_grads(True).__enter__()
-    config.set_spmd_dw_rule("taps")
-    return trainer._get_step(), args
+    # trainer would enter this context itself in step() — the returned
+    # context scopes them to THIS case's compile so later cases lower the
+    # default rules
+    import contextlib
+
+    @contextlib.contextmanager
+    def sharded_trace_ctx():
+        prev_rule = config.get_spmd_dw_rule()
+        config.set_spmd_dw_rule("taps")
+        try:
+            with config.spmd_safe_grads(True):
+                yield
+        finally:
+            config.set_spmd_dw_rule(prev_rule)
+
+    return trainer._get_step(), args, sharded_trace_ctx()
 
 
 CASES = {
     "augment": case_augment,
+    "augment_center": case_augment_center,
     "depthwise_s1": case_depthwise_s1,
     "depthwise_s2": case_depthwise_s2,
     "matmul": case_matmul,
@@ -212,11 +238,18 @@ def main(argv):
         print(f"SKIP: no tpu topology available ({type(e).__name__}: {e})")
         return 3
 
+    import contextlib
+
     failed = []
     for name in names:
-        fn, shapes = CASES[name](topo)
+        # case construction INSIDE the try: one broken case must report FAIL
+        # and let the remaining kernels still be validated
         try:
-            compiled = _compile(fn, shapes)
+            case = CASES[name](topo)
+            fn, shapes = case[0], case[1]
+            ctx = case[2] if len(case) > 2 else contextlib.nullcontext()
+            with ctx:
+                compiled = _compile(fn, shapes)
             mem = compiled.memory_analysis()
             print(f"OK   {name}: code={mem.generated_code_size_in_bytes}B "
                   f"temp={mem.temp_size_in_bytes}B")

@@ -32,10 +32,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The probe must exercise the TUNNEL, never an inherited forced platform: a
+# JAX_PLATFORMS=cpu left over from a test shell would make a dead tunnel look
+# healthy and burn the one-shot battery on CPU numbers. The probe subprocess
+# therefore clears the override and takes the default (axon) platform.
 PROBE_CODE = (
-    "import os, time, jax, jax.numpy as jnp\n"
-    "p = os.environ.get('JAX_PLATFORMS')\n"
-    "if p: jax.config.update('jax_platforms', p)\n"
+    "import time, jax, jax.numpy as jnp\n"
     "t0 = time.perf_counter()\n"
     "x = jnp.ones((256, 256))\n"
     "print(float((x @ x)[0, 0]), time.perf_counter() - t0)\n"
@@ -59,26 +61,30 @@ def log(out_dir: str, msg: str) -> None:
 
 
 def probe(timeout_s: float) -> tuple[bool, float]:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
     t0 = time.perf_counter()
     try:
         subprocess.run([sys.executable, "-c", PROBE_CODE], timeout=timeout_s,
-                       check=True, capture_output=True, cwd=REPO)
+                       check=True, capture_output=True, cwd=REPO, env=env)
         return True, time.perf_counter() - t0
     except Exception:
         return False, time.perf_counter() - t0
 
 
-def run_battery(out_dir: str) -> None:
+def run_battery(out_dir: str, probe_timeout_s: float) -> None:
     for i, (name, argv, timeout_s, extra_env) in enumerate(BATTERY, 1):
-        # re-probe between items: a relapse mid-battery should skip the rest
-        # quickly rather than burn each item's full timeout on a dead link
+        # re-probe between items with the SAME health bar as the main loop
+        # (ok AND fast): a relapsed-or-degraded link should skip the rest
+        # quickly rather than burn each item's full timeout producing garbage
         if i > 1:
-            ok, took = probe(120)
+            ok, took = probe(probe_timeout_s)
             log(out_dir, f"inter-item probe: ok={ok} {took:.1f}s")
-            if not ok:
+            if not ok or took >= 60:
                 log(out_dir, f"tunnel relapsed before {name}; skipping the rest")
                 return
         env = dict(os.environ, **extra_env)
+        env.pop("JAX_PLATFORMS", None)  # battery items measure the TPU
         log_path = os.path.join(out_dir, f"{i:02d}_{name}.log")
         log(out_dir, f"running {name} (timeout {timeout_s}s) -> {log_path}")
         t0 = time.perf_counter()
@@ -113,7 +119,7 @@ def main() -> int:
             log(args.out, f"confirm probe: ok={ok2} {took2:.1f}s")
             if ok2 and took2 < 60:
                 log(args.out, "tunnel healthy; running battery")
-                run_battery(args.out)
+                run_battery(args.out, args.probe_timeout_s)
                 log(args.out, "battery done")
                 return 0
         time.sleep(args.poll_s)

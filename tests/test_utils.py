@@ -442,3 +442,8 @@ def test_metrics_logger_roundtrip(tmp_path):
     with open(p, "a") as f:
         f.write('{"step": 3, "lo')
     assert [r["step"] for r in read_metrics(p)] == [0, 1, 2]
+    # resuming AFTER a mid-write kill must not merge the first new record
+    # into the truncated line — and must not lose it on read-back
+    with MetricsLogger(p) as m:
+        m.log(step=4, loss=0.25)
+    assert [r["step"] for r in read_metrics(p)] == [0, 1, 2, 4]
