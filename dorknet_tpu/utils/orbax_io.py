@@ -30,6 +30,29 @@ def save_checkpoint(path, network, trainer=None):
     return path
 
 
+_ASYNC_CKPTR = None
+
+
+def save_checkpoint_async(path, network, trainer=None):
+    """Non-blocking save: device→host transfer completes before this returns
+    (so the next train step may DONATE the param buffers safely — the
+    snapshot is already on the host), while serialisation + disk write run in
+    a background thread. Returns the shared AsyncCheckpointer; call
+    ``wait_until_finished()`` on it before process exit. A save already in
+    flight is waited for first, so steady-state overlaps exactly one
+    checkpoint write with training — the standard TPU-production cadence
+    (checkpoint I/O costs zero step time unless writes are slower than the
+    checkpoint interval)."""
+    import orbax.checkpoint as ocp
+
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    _ASYNC_CKPTR.wait_until_finished()
+    _ASYNC_CKPTR.save(os.path.abspath(path), _state_tree(network, trainer))
+    return _ASYNC_CKPTR
+
+
 def load_checkpoint(path, network, trainer=None):
     """Restore into an already-constructed network (the structure carrier),
     mirroring the reference's build-empty-then-load flow.

@@ -447,3 +447,48 @@ def test_metrics_logger_roundtrip(tmp_path):
     with MetricsLogger(p) as m:
         m.log(step=4, loss=0.25)
     assert [r["step"] for r in read_metrics(p)] == [0, 1, 2, 4]
+
+
+def test_orbax_async_checkpoint_snapshots_at_save_time(tmp_path):
+    """save_checkpoint_async must capture the params AS OF THE SAVE CALL:
+    the device->host snapshot completes before it returns, so a subsequent
+    train step — which DONATES the param buffers in place — cannot corrupt
+    the checkpoint. Restored params equal the save-time values, not the
+    post-step ones."""
+    import jax
+
+    from dorknet_tpu.layers import DenseLayer, SoftmaxWithCrossEntropy
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.utils.orbax_io import (load_checkpoint,
+                                            save_checkpoint_async)
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(8, 5).astype(np.float32)
+    Y = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 8)]
+
+    net = FeedForwardNetwork("async_ckpt")
+    net.add_layer(DenseLayer("dense_1", incoming_chans=5, output_dim=4))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+    tr = Trainer(net, SGDMomentum(net, 0.1, 0.9))
+    tr.step(X, Y)
+
+    at_save = jax.tree_util.tree_map(np.array, net.gather_params())
+    ckptr = save_checkpoint_async(str(tmp_path / "ck"), net, tr)
+    tr.step(X, Y)  # donates the buffers the snapshot was taken from
+    ckptr.wait_until_finished()
+
+    stepped = net.gather_params()
+    net2 = FeedForwardNetwork("async_ckpt")
+    net2.add_layer(DenseLayer("dense_1", incoming_chans=5, output_dim=4))
+    net2.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+    load_checkpoint(str(tmp_path / "ck"), net2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(net2.gather_params()),
+                    jax.tree_util.tree_leaves(at_save)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the live network really did move on (the step wasn't a no-op)
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(stepped),
+                                jax.tree_util.tree_leaves(at_save)))
+    assert moved
