@@ -379,16 +379,24 @@ def _shift_resample(x, t_float, axis, nbits):
     shift by floor(t) and one +1-neighbour lerp.
 
     Dtype-preserving: integer inputs run the shift rounds at 1 byte/pixel
-    (the whole point — 4x less HBM traffic than fp32), lerp in bfloat16, and
-    round back, mirroring cv2's fixed-point warp rounding."""
+    (the whole point — 4x less HBM traffic than fp32), lerp in float32, and
+    round back, mirroring cv2's fixed-point warp rounding. The lerp dtype is
+    fp32 ON PURPOSE, not bf16: the lerp temporaries are fusion-internal (the
+    materialised intermediates are uint8 either way, so there is no traffic
+    to save), and on TPU XLA compiled the former explicit-bf16 casts with
+    excess precision anyway (fp32 inside the fusion, one rounding at the
+    store) while interpret/CPU executed literal bf16 — a backend-dependent
+    output that broke kernel-vs-planes bit-equality on chip (PERF.md
+    round-3 session-4/5). fp32 makes the numerics backend-independent and
+    strictly closer to cv2."""
     t0 = jnp.floor(t_float)
     frac = t_float - t0
     x0 = _barrel_shift(x, t0.astype(jnp.int32), axis, nbits)
     x1 = jnp.roll(x0, -1, axis=axis)
     if jnp.issubdtype(x.dtype, jnp.integer):
-        frac = frac.astype(jnp.bfloat16)
-        out = ((1.0 - frac) * x0.astype(jnp.bfloat16)
-               + frac * x1.astype(jnp.bfloat16))
+        frac = frac.astype(jnp.float32)
+        out = ((1.0 - frac) * x0.astype(jnp.float32)
+               + frac * x1.astype(jnp.float32))
         return (out + 0.5).astype(x.dtype)  # round half up, cv2-style
     frac = frac.astype(x.dtype)
     return (1.0 - frac) * x0 + frac * x1

@@ -10,7 +10,8 @@ halves chained input-pipeline->train throughput. This kernel holds one
 image's planes in VMEM and runs the SAME algorithm (crop_batch_planes'
 barrel-shift crop in-register — Mosaic rejects dynamic-origin ref reads as
 not tile-aligned — cv2-matched HSV, the identical three-shear barrel-shift
-rotation with bf16 lerps) with two HBM passes total: read the uint8 precrop
+rotation with fp32 lerps matching XLA's excess-precision bf16 numerics, see
+_shift_resample_kernel) with two HBM passes total: read the uint8 precrop
 image, write the uint8 augmented image.
 
 Parity: stage order, dtypes and rounding follow augment_batch_planes
@@ -59,24 +60,30 @@ def _u8_to_float(x, dt):
 def _float_to_u8(x):
     """float -> uint8 via int32 truncation, clamped to [0, 255] first.
 
-    The clamp is load-bearing: the bf16 round-half-up lerp can produce 256
-    (255.5 is not representable at bf16's unit spacing above 128, so +0.5
-    rounds up), which XLA's direct float->uint8 cast SATURATES to 255 but an
-    int32->uint8 cast would WRAP to 0 — one wrapped pixel then smears through
-    the remaining shear lerps (found as a content-dependent 2x2 mismatch
-    cluster vs the planes path)."""
+    The clamp is load-bearing: XLA's direct float->uint8 cast SATURATES
+    out-of-range values but an int32->uint8 cast WRAPS — one wrapped pixel
+    then smears through the remaining shear lerps (found as a
+    content-dependent 2x2 mismatch cluster vs the planes path back when the
+    lerps ran in bf16, where round-half-up could hit 256; fp32 lerps make
+    that edge unreachable from <=255 endpoints, but the clamp stays as the
+    wrap guard for the HSV stage's arithmetic)."""
     return jnp.clip(x, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _shift_resample_kernel(x, t_float, axis, nbits):
     """device_augment._shift_resample (uint8 path): shift rounds at 1
-    byte/pixel, bf16 lerp, cv2-style round-half-up back to the input dtype.
+    byte/pixel, lerp, cv2-style round-half-up back to the input dtype.
     The barrel shift itself is IMPORTED from device_augment (pure jnp,
-    Mosaic-compatible as-is); the lerp/rounding lines are deliberately kept
-    textually parallel to _shift_resample's — only the casts differ (Mosaic
-    needs the int32 route + explicit clamp; XLA's direct cast saturates) —
-    and test_pallas_augment_matches_planes pins the two bit-exact, so any
-    future divergence fails CI rather than shipping."""
+    Mosaic-compatible as-is). The lerp runs in FLOAT32 even though the
+    planes path writes bf16 casts: XLA compiles those bf16 chains with
+    excess precision (fp32 inside the fusion, one rounding at the uint8
+    store — the TPU toolchain runs --xla_allow_excess_precision=true), and
+    Mosaic executes literal bf16 vector ops. A literal-bf16 kernel measured
+    59% of pixels off by up to 6 uint8 steps AGAINST THE PLANES PATH ON
+    CHIP while interpret mode (where XLA treats both paths alike) was
+    bit-exact — PERF.md round-3 session-4/5. fp32 lerps reproduce the
+    planes path's effective numerics on both backends;
+    test_pallas_augment_matches_planes pins the equality in CI."""
     from dorknet_tpu.data_loading.device_augment import _barrel_shift
 
     t0 = jnp.floor(t_float)
@@ -84,9 +91,9 @@ def _shift_resample_kernel(x, t_float, axis, nbits):
     x0 = _barrel_shift(x, t0.astype(jnp.int32), axis, nbits)
     x1 = jnp.roll(x0, -1, axis=axis)
     if jnp.issubdtype(x.dtype, jnp.integer):
-        frac = frac.astype(jnp.bfloat16)
-        out = ((1.0 - frac) * _u8_to_float(x0, jnp.bfloat16)
-               + frac * _u8_to_float(x1, jnp.bfloat16))
+        frac = frac.astype(jnp.float32)
+        out = ((1.0 - frac) * _u8_to_float(x0, jnp.float32)
+               + frac * _u8_to_float(x1, jnp.float32))
         return _float_to_u8(out + 0.5)
     frac = frac.astype(x.dtype)
     return (1.0 - frac) * x0 + frac * x1
@@ -227,12 +234,12 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     # padded bf16 shear planes + the uint8 input block) overflows ~16 MB of
     # VMEM and Mosaic fails the whole compile — fall back to the XLA planes
     # path instead. Conservative live-set model: 6 fp32 HSV temps on the
-    # crop + 4 bf16 temps on the padded rotation planes + input + output
+    # crop + 4 fp32 lerp temps on the padded rotation planes + input + output
     # (+ 2 full-size uint8 barrel-shift temps from the in-register crop).
     Pg = (_shear_pad(rotation_tuple, oh, ow)
           if rotation_tuple is not None else 0)
     _vmem_est = (6 * C * oh * ow * 4
-                 + 4 * C * (oh + 2 * Pg) * (ow + 2 * Pg) * 2
+                 + 4 * C * (oh + 2 * Pg) * (ow + 2 * Pg) * 4
                  + 3 * C * H * W + C * oh * ow)
     if _vmem_est > 10 * 1024 * 1024:
         from dorknet_tpu.data_loading.device_augment import \

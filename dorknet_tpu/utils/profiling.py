@@ -56,6 +56,62 @@ def trace(log_dir="/tmp/dorknet_trace"):
         jax.profiler.stop_trace()
 
 
+def summarize_device_trace(trace_dir, runs=1):
+    """Aggregate a ``jax.profiler`` trace directory into per-op device-time
+    totals — the per-fusion hotspot table that drives the PERF.md ledger
+    (e.g. the BN custom-VJP rework: 59% of step → 14.5%).
+
+    Returns ``(top_level_ms_per_run, rows)`` where rows are
+    ``(op_name, ms_per_run, count_per_run, pct_of_top_level)`` sorted by
+    total time. ``runs`` divides the totals so numbers read per dispatch.
+    Device lanes are detected by process name (TPU/GPU/device); if none
+    match (e.g. a CPU trace in tests), all lanes are aggregated."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    ev = []
+    for p in glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(p, "rt") as f:
+            ev.extend(json.load(f).get("traceEvents", []))
+    pidname = {e["pid"]: e["args"].get("name", "") for e in ev
+               if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pidname.items()
+                if "TPU" in n or "tpu" in n or "GPU" in n
+                or "device" in n.lower()}
+    if not dev_pids:
+        dev_pids = set(pidname)
+
+    tot = defaultdict(float)
+    count = defaultdict(int)
+    top_level = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_"):  # the enclosing program slice
+            top_level += e.get("dur", 0)
+            continue
+        tot[name] += e.get("dur", 0)
+        count[name] += 1
+
+    rows = [(name, us / runs / 1e3, count[name] // runs,
+             100.0 * us / max(top_level, 1))
+            for name, us in sorted(tot.items(), key=lambda kv: -kv[1])]
+    return top_level / runs / 1e3, rows
+
+
+def print_trace_summary(top_level_ms, rows, title="program", top=30):
+    """Render summarize_device_trace output as the standard hotspot table."""
+    print(f"\n{title}: {top_level_ms:.2f} ms/dispatch device total")
+    print(f"{'op':60s} {'ms/run':>9s} {'#':>5s} {'%':>6s}")
+    for name, ms, n, pct in rows[:top]:
+        print(f"{name[:60]:60s} {ms:9.3f} {n:5d} {pct:6.1f}")
+    rest = sum(ms for _, ms, _, _ in rows[top:])
+    print(f"{'(rest)':60s} {rest:9.3f}")
+
+
 class RunningAverage:
     """EMA meter: first observation initialises, then v = m*v + (1-m)*x
     (the reference's running-loss bookkeeping)."""
