@@ -52,6 +52,31 @@ def use_pallas() -> bool:
     return _USE_PALLAS
 
 
+# The fused augmentation kernel gets its OWN tri-state gate because its
+# measured adoption decision differs by call site (on-chip, wall-confirmed,
+# PERF.md round-3 session-5): as the STANDALONE aug program it is a 2.2x
+# device / 1.6x wall win over the XLA planes path (1.77 vs 3.90 ms per b128
+# dispatch), but traced INSIDE the fused aug+train step it is a 2.2x LOSS
+# (48.4 vs 16.3 ms/step device) — the custom-call boundary splits the step
+# program and defeats XLA's scheduling around the 128-step serial kernel
+# grid. None = per-site default (ON for train_pipeline/augment programs on
+# a TPU backend, OFF inside Trainer.step_augmented); True/False force it
+# everywhere the structural gates (uint8, unsharded, VMEM bound) allow.
+_USE_PALLAS_AUG = None
+
+
+def set_use_pallas_aug(flag):
+    """Force the fused Pallas augmentation kernel on (True), off (False), or
+    restore the measured per-site defaults (None) — see the comment above."""
+    global _USE_PALLAS_AUG
+    _USE_PALLAS_AUG = None if flag is None else bool(flag)
+
+
+def use_pallas_aug():
+    """Tri-state: True/False = forced, None = per-site default."""
+    return _USE_PALLAS_AUG
+
+
 _SPMD_SAFE_GRADS = False
 
 

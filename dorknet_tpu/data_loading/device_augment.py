@@ -546,11 +546,21 @@ def augment_batch_planes(x, params, out_hw, hsv_pert_tuples=None,
     Spatial stages (crop/rotate/flip) run in the INPUT dtype: with uint8
     images that is 1 byte/pixel of HBM traffic, and matches cv2, which
     quantises to uint8 after every stage. HSV itself runs in ``hsv_dtype``
-    (default: the input's float dtype, or float32 for integer inputs) and
-    rounds back to the input dtype for integer inputs."""
+    for FLOAT inputs (where it is the materialised working/output
+    precision). For INTEGER inputs the HSV math always runs in float32 and
+    ``hsv_dtype`` is ignored: the stage rounds straight back to the input
+    dtype, so the float temporaries are fusion-internal — a bf16 working
+    dtype saves no HBM traffic, XLA:TPU compiles the bf16 casts with excess
+    precision anyway (backend-dependent output, the same trap as the shear
+    lerps — see _shift_resample), and Mosaic cannot lower bf16 comparisons
+    at all ("Target does not support this comparison" on the v5e for
+    _bgr_to_hsv_chw's ``diff == 0``), which broke the pallas aug kernel
+    under the bf16 compute policy (PERF.md round-3 session-5)."""
     quantise = jnp.issubdtype(x.dtype, jnp.integer)
-    if hsv_dtype is None:
-        hsv_dtype = jnp.float32 if quantise else x.dtype
+    if quantise:
+        hsv_dtype = jnp.float32
+    elif hsv_dtype is None:
+        hsv_dtype = x.dtype
     if crop_mode == "random":
         x = crop_batch_planes(x, params["crop_r"], params["crop_c"], out_hw)
     elif crop_mode == "center":
@@ -630,16 +640,23 @@ def train_pipeline(key, images_precrop, one_hot, out_hw,
         aug_dtype = jnp.dtype(get_compute_dtype()).name
     if use_pallas_aug is None:
         # same stale-trace discipline as aug_dtype: the pallas gate is read
-        # here, not inside the cached jit. Backend-guarded like the conv
-        # gate (ops/conv.py): on non-TPU backends the global flag falls back
-        # to the XLA planes path instead of failing to compile. Sharded
+        # here, not inside the cached jit. As the STANDALONE aug program the
+        # kernel defaults ON for TPU backends — wall-confirmed 1.6x win over
+        # the planes path, output parity within 1 uint8 step (PERF.md
+        # round-3 session-5); config.set_use_pallas_aug(False) restores the
+        # planes path. Backend-guarded like the conv gate (ops/conv.py):
+        # on non-TPU backends every config setting falls back to the XLA
+        # planes path instead of failing to compile (only the explicit
+        # per-call argument bypasses, for interpret-mode tests). Sharded
         # inputs also fall back: pallas_call has no SPMD partitioning rule,
         # so GSPMD would all-gather the batch to every device and redo the
         # full-batch aug grid per replica (the Trainer applies the same
         # guard for its sharded step traces).
-        from dorknet_tpu.config import use_pallas
+        from dorknet_tpu.config import use_pallas_aug as _aug_gate
 
-        use_pallas_aug = use_pallas() and jax.default_backend() == "tpu"
+        tri = _aug_gate()
+        use_pallas_aug = (True if tri is None else tri) and \
+            jax.default_backend() == "tpu"
         s = getattr(images_precrop, "sharding", None)
         if s is not None and len(getattr(s, "device_set", ())) > 1:
             use_pallas_aug = False

@@ -423,19 +423,29 @@ class Trainer:
         passed to _train_pipeline_impl (and used as part of the jit key).
         aug_dtype and the pallas-augmentation gate are resolved from the
         global policies here, at trace-key time, exactly like train_pipeline
-        does. The pallas gate additionally requires a real TPU backend AND a
-        non-sharded trainer: under a mesh, pallas_call has no SPMD
-        partitioning rule, so GSPMD would all-gather the batch-sharded
-        uint8 stack to every device and redo the full-batch aug grid per
-        replica — numerically right, silently unscalable (the same hole the
-        conv gate's use_spmd_safe_grads() check closes)."""
-        from dorknet_tpu.config import get_compute_dtype, use_pallas
+        does. Unlike the standalone aug program (where the kernel defaults
+        ON for TPU — a wall-confirmed 1.6x win), INSIDE the fused step the
+        kernel defaults OFF: measured 2.2x SLOWER than the planes path
+        in-program (48.4 vs 16.3 ms/step device, 55.2 vs 25.0 ms wall, b128
+        bf16 — the custom-call boundary splits the step program around the
+        B-step serial kernel grid; PERF.md round-3 session-5). Opt in
+        explicitly with config.set_use_pallas_aug(True) or the legacy
+        global set_use_pallas(True) (the A/B harnesses use these). The
+        gate additionally requires a real TPU backend AND a non-sharded
+        trainer: under a mesh, pallas_call has no SPMD partitioning rule,
+        so GSPMD would all-gather the batch-sharded uint8 stack to every
+        device and redo the full-batch aug grid per replica — numerically
+        right, silently unscalable (the same hole the conv gate's
+        use_spmd_safe_grads() check closes)."""
+        from dorknet_tpu.config import (get_compute_dtype, use_pallas,
+                                        use_pallas_aug)
 
         def tt(v):  # tuples all the way down (configs arrive as lists)
             return tuple(tuple(e) if isinstance(e, (list, tuple)) else e
                          for e in v) if isinstance(v, (list, tuple)) else v
 
-        pallas_aug = (use_pallas()
+        tri = use_pallas_aug()
+        pallas_aug = ((tri is True or (tri is None and use_pallas()))
                       and self.batch_sharding is None
                       and self.param_sharding is None
                       and jax.default_backend() == "tpu")

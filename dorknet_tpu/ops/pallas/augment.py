@@ -141,7 +141,7 @@ def _rotate_one(x, deg, P, nbits, out_hw):
 
 
 def _aug_kernel(params_ref, x_ref, o_ref, *, out_hw, crop_mode, hsv_on,
-                rot_on, P, nbits, hsv_dtype):
+                rot_on, P, nbits):
     # params_ref is a scalar-prefetch arg: the FULL (B, 8) table in SMEM,
     # indexed by this grid step's image id (the (1, 8)-block alternative is
     # not a legal SMEM BlockSpec — Mosaic wants block dims divisible by the
@@ -182,7 +182,14 @@ def _aug_kernel(params_ref, x_ref, o_ref, *, out_hw, crop_mode, hsv_on,
         x = x_ref[0]  # (3, oh, ow) uint8
 
     if hsv_on:
-        hsv = _hsv_apply(_u8_to_float(x, hsv_dtype), params_ref[i, 2],
+        # HSV math is pinned to fp32, mirroring augment_batch_planes, which
+        # ignores hsv_dtype for integer inputs (the kernel is uint8-only):
+        # the temporaries are VMEM-internal so bf16 saves nothing, and
+        # Mosaic cannot lower bf16 comparisons (_bgr_to_hsv_chw's
+        # ``diff == 0`` fails "Target does not support this comparison" on
+        # the v5e — found on-chip under the bf16 compute policy, PERF.md
+        # round-3 session-5).
+        hsv = _hsv_apply(_u8_to_float(x, jnp.float32), params_ref[i, 2],
                          params_ref[i, 3], params_ref[i, 4])
         x = _float_to_u8(hsv + 0.5)  # cv2 quantises after every stage
 
@@ -198,8 +205,9 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     """Drop-in for device_augment.augment_batch_planes on uint8 (B,3,H,W)
     batches: one fused Pallas dispatch for crop+HSV+rotation (grid = one
     image per step), then the XLA flip select. ``params`` comes from
-    draw_batch_params; ``hsv_dtype`` mirrors that path's HSV working dtype
-    (default float32 for integer inputs)."""
+    draw_batch_params; ``hsv_dtype`` exists for drop-in parity with that
+    path's signature — both ignore it for integer inputs (HSV math is
+    always fp32 there, see augment_batch_planes)."""
     from dorknet_tpu.data_loading.device_augment import (_shear_pad,
                                                          flip_batch_planes)
 
@@ -263,12 +271,12 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
     else:
         P, nbits = 0, 0
 
-    if hsv_dtype is None:
-        hsv_dtype = jnp.float32
+    # hsv_dtype is accepted for drop-in parity with augment_batch_planes
+    # (and forwarded on the fallback paths above) but the kernel itself
+    # always runs HSV in fp32 — see the _aug_kernel comment
     kernel = partial(_aug_kernel, out_hw=(oh, ow), crop_mode=crop_mode,
                      hsv_on=hsv_pert_tuples is not None,
-                     rot_on=rotation_tuple is not None, P=P, nbits=nbits,
-                     hsv_dtype=jnp.dtype(hsv_dtype))
+                     rot_on=rotation_tuple is not None, P=P, nbits=nbits)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

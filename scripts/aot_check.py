@@ -215,9 +215,69 @@ def case_flagship_dp_tp_step(topo):
     return trainer._get_step(), args, sharded_trace_ctx()
 
 
+def case_fused_aug_step_bf16(topo):
+    """The trainer's fused augment+train step with the pallas aug kernel ON
+    under the PRODUCTION bf16 compute policy — the exact config the chip
+    rejected in round-3 session-5: the policy routed hsv_dtype="bfloat16"
+    into the kernel and Mosaic failed _bgr_to_hsv_chw's bf16 ``diff == 0``
+    with "Target does not support this comparison" (HSV math is now pinned
+    to fp32 for integer inputs on both paths). The standalone augment cases
+    run fp32 HSV, so only this case covers the policy interaction."""
+    import contextlib
+
+    from dorknet_tpu import config
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
+    net = ResNet18("aot_aug", num_classes=120)
+    opt = SGDMomentum(net, 0.015, 0.9)
+    trainer = Trainer(net, opt)
+
+    B, pre, S = 2, 281, 225
+    params = net.gather_params()
+    states = net.gather_states()
+    cache = opt.init_cache(params)
+    rep = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                      sharding=s), params)
+
+    # the aug static tuple _freeze_aug would build under the bf16 policy on
+    # a TPU backend (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype,
+    # pallas_aug) — built by hand because _freeze_aug's pallas gate checks
+    # the live backend, which is cpu here
+    aug = ((S, S), ((0.9, 1.1), (0.5, 2.0), (0.5, 2.0)), (-15.0, 15.0),
+           0.5, "random", None, "bfloat16", True)
+
+    args = (
+        rep,
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                    sharding=s), states),
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                    sharding=s), cache),
+        None,  # no EMA shadow
+        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=s),  # PRNG key
+        jax.ShapeDtypeStruct((B, pre, pre, 3), jnp.uint8, sharding=s),
+        jax.ShapeDtypeStruct((B, 120), jnp.float32, sharding=s),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=s),
+    )
+
+    @contextlib.contextmanager
+    def bf16_policy_ctx():
+        prev = config.get_compute_dtype()
+        config.set_compute_dtype(jnp.bfloat16)
+        try:
+            yield
+        finally:
+            config.set_compute_dtype(prev)
+
+    return trainer._get_aug_step(aug), args, bf16_policy_ctx()
+
+
 CASES = {
     "augment": case_augment,
     "augment_center": case_augment_center,
+    "fused_aug_step_bf16": case_fused_aug_step_bf16,
     "depthwise_s1": case_depthwise_s1,
     "depthwise_s2": case_depthwise_s2,
     "matmul": case_matmul,

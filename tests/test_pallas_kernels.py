@@ -134,8 +134,10 @@ def test_pallas_augment_matches_planes(cfg, _aug_interpret):
 
 
 def test_pallas_augment_bf16_hsv_dtype_matches_planes(_aug_interpret):
-    """Under the bf16 policy the planes path runs HSV in bf16 — the kernel's
-    hsv_dtype mirrors it bit-for-bit."""
+    """Under the bf16 policy the trainer passes hsv_dtype="bfloat16" — BOTH
+    paths ignore it for uint8 inputs (HSV math pinned to fp32: fusion-
+    internal temporaries, and Mosaic can't lower bf16 comparisons), so the
+    kernel must still match the planes path bit-for-bit."""
     from dorknet_tpu.data_loading.device_augment import (
         augment_batch_planes, draw_batch_params)
 
@@ -261,3 +263,76 @@ def test_pallas_kernels_true_aot_compile_v5e():
         pytest.skip("no local libtpu topology available: " + out.strip()[-200:])
     assert r.returncode == 0, out[-3000:]
     assert "all pallas kernels AOT-compile" in out
+
+
+def test_pallas_aug_tristate_resolution(monkeypatch):
+    """config.set_use_pallas_aug's per-site defaults (PERF.md round-3
+    session-5: the kernel WINS as the standalone aug program, LOSES inside
+    the fused train step): train_pipeline resolves None -> ON for a TPU
+    backend / OFF elsewhere; the trainer's fused step resolves None -> OFF
+    unless the legacy global forces it; False beats the global everywhere;
+    non-TPU backends always fall back. Resolution only — the captured flag
+    never reaches a kernel compile."""
+    import dorknet_tpu
+    import dorknet_tpu.data_loading.device_augment as da
+    from dorknet_tpu.config import set_use_pallas_aug
+    from dorknet_tpu.layers import (ConvLayer, GlobalAveragePoolingLayer,
+                                    DenseLayer, SoftmaxWithCrossEntropy)
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.optimisers import SGD
+
+    captured = {}
+
+    def fake_impl(key, x, oh, out_hw, *args):
+        captured["flag"] = args[-1]
+        return x, oh
+
+    monkeypatch.setattr(da, "_train_pipeline_impl", fake_impl)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 255, (2, 12, 12, 3), dtype=np.uint8))
+    oh = jnp.asarray(np.eye(3, dtype=np.float32)[[0, 1]])
+
+    def resolve(backend, tri, global_flag=False):
+        monkeypatch.setattr(da.jax, "default_backend", lambda: backend)
+        set_use_pallas_aug(tri)
+        dorknet_tpu.set_use_pallas(global_flag)
+        try:
+            da.train_pipeline(jax.random.PRNGKey(0), x, oh, (8, 8),
+                              **AUG_CFG)
+            return captured["flag"]
+        finally:
+            set_use_pallas_aug(None)
+            dorknet_tpu.set_use_pallas(False)
+
+    assert resolve("tpu", None) is True      # standalone default: ON
+    assert resolve("tpu", False) is False    # explicit off wins
+    assert resolve("cpu", None) is False     # non-TPU always falls back
+    assert resolve("cpu", True) is False     # even forced-on (structural)
+
+    np.random.seed(3)
+    net = FeedForwardNetwork("tristate")
+    net.add_layer(ConvLayer("c0", filter_block_shape=(4, 3, 3, 3)))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d", incoming_chans=4, output_dim=3))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("sm"))
+    tr = Trainer(net, SGD(net, 0.01))
+    fa = lambda: tr._freeze_aug((8, 8), AUG_CFG["hsv_pert_tuples"],
+                                AUG_CFG["rotation_tuple"],
+                                AUG_CFG["horizontal_flip_prob"],
+                                "random", None)[-1]
+
+    import dorknet_tpu.network.trainer as trmod
+    monkeypatch.setattr(trmod.jax, "default_backend", lambda: "tpu")
+    try:
+        assert fa() is False                 # fused-step default: OFF
+        set_use_pallas_aug(True)
+        assert fa() is True                  # explicit opt-in
+        set_use_pallas_aug(None)
+        dorknet_tpu.set_use_pallas(True)
+        assert fa() is True                  # legacy global opt-in
+        set_use_pallas_aug(False)
+        assert fa() is False                 # explicit off beats the global
+    finally:
+        set_use_pallas_aug(None)
+        dorknet_tpu.set_use_pallas(False)
