@@ -273,7 +273,10 @@ def bench_aug_pipeline(n_images=256, image=225):
     finally:
         dorknet_tpu.set_compute_dtype(jnp.float32)
     dev_ips = n_images / best
-    log(f"aug on-device(planes/bf16): {dev_ips:.0f} img/s")
+    # the DEFAULT aug path: the pallas kernel on TPU backends, the XLA
+    # planes pipeline elsewhere (config.set_use_pallas_aug) — the explicit
+    # planes-vs-kernel device A/B lives in bench_pallas_aug
+    log(f"aug on-device(default path/bf16): {dev_ips:.0f} img/s")
     return host_ips, dev_ips
 
 
@@ -360,7 +363,8 @@ def bench_aug_vs_train_interleaved(batch_size=256, image=225, classes=120,
 def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
     """END-TO-END training throughput: JPEGs on disk -> threaded loader
     (native C++ decode when built, precrop resize, uint8 HWC batches) ->
-    device_prefetch -> on-device augmentation (planes/bf16, incl. mixup) ->
+    device_prefetch -> on-device augmentation (default aug path/bf16,
+    incl. mixup) ->
     fused bf16 train step. Reports TRAINED images/sec (device mixup doubles
     the batch: one 256-image loader batch trains 512 images) plus the
     host decode rate, which on a 1-core bench host is the expected ceiling."""
@@ -1107,7 +1111,7 @@ def main():
         try:
             host_ips, dev_ips = bench_aug_pipeline()
             results["aug_host_ips"] = round(host_ips, 1)
-            results["aug_device_planes_ips"] = round(dev_ips, 1)
+            results["aug_device_default_ips"] = round(dev_ips, 1)
         except Exception as e:
             log(f"aug bench failed: {e}")
     else:

@@ -43,7 +43,12 @@ def get_compute_dtype():
 
 
 def set_use_pallas(flag: bool):
-    """Enable/disable Pallas fast-path kernels (XLA-native ops are the fallback)."""
+    """Enable/disable the Pallas fast-path COMPUTE kernels (depthwise,
+    matmul, bn_stats; XLA-native ops are the fallback). The fused
+    augmentation kernel has its own per-site gate — ``set_use_pallas_aug``
+    below — and does NOT turn off with this flag (on TPU it defaults ON
+    for standalone aug programs); use ``set_use_pallas_aug(False)`` to
+    force the XLA planes path."""
     global _USE_PALLAS
     _USE_PALLAS = bool(flag)
 
@@ -56,8 +61,8 @@ def use_pallas() -> bool:
 # measured adoption decision differs by call site (on-chip, wall-confirmed,
 # PERF.md round-3 session-5): as the STANDALONE aug program it is a 2.2x
 # device / 1.6x wall win over the XLA planes path (1.77 vs 3.90 ms per b128
-# dispatch), but traced INSIDE the fused aug+train step it is a 2.2x LOSS
-# (48.4 vs 16.3 ms/step device) — the custom-call boundary splits the step
+# dispatch), but traced INSIDE the fused aug+train step it is a 3.0x device /
+# 2.2x wall LOSS (48.4 vs 16.3 ms/step device) — the custom-call boundary splits the step
 # program and defeats XLA's scheduling around the 128-step serial kernel
 # grid. None = per-site default (ON for train_pipeline/augment programs on
 # a TPU backend, OFF inside Trainer.step_augmented); True/False force it

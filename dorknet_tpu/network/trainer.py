@@ -425,8 +425,9 @@ class Trainer:
         global policies here, at trace-key time, exactly like train_pipeline
         does. Unlike the standalone aug program (where the kernel defaults
         ON for TPU — a wall-confirmed 1.6x win), INSIDE the fused step the
-        kernel defaults OFF: measured 2.2x SLOWER than the planes path
-        in-program (48.4 vs 16.3 ms/step device, 55.2 vs 25.0 ms wall, b128
+        kernel defaults OFF: measured 3.0x device / 2.2x wall SLOWER than
+        the planes path in-program (48.4 vs 16.3 ms/step device, 55.2 vs
+        25.0 ms wall, b128
         bf16 — the custom-call boundary splits the step program around the
         B-step serial kernel grid; PERF.md round-3 session-5). Opt in
         explicitly with config.set_use_pallas_aug(True) or the legacy
@@ -501,7 +502,13 @@ class Trainer:
         float32. rng: a jax.random key. With mixup the step trains 2B images
         (both convex orderings, reference pairing). Returns (loss, preds) as
         device arrays. Numerically equal to train_pipeline(...) followed by
-        step(..., input_layout="NHWC")."""
+        step(..., input_layout="NHWC") AT MATCHING pallas-aug gate settings
+        — note the per-site defaults differ on TPU backends (train_pipeline
+        defaults the pallas aug kernel ON, this fused step defaults it OFF;
+        the kernel's output may differ from the planes path by 1 uint8 step
+        on ~0.005% of pixels), so force one side via
+        config.set_use_pallas_aug / the use_pallas_aug argument when
+        comparing the two paths."""
         aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
                                horizontal_flip_prob, crop_mode, mixup)
         params, states = self._prepare()

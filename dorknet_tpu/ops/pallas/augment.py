@@ -23,9 +23,12 @@ Reference analogue: the cv2 host augmenter
 
 uint8 images only (the production path — emit_hwc_uint8 loaders); float
 batches fall back to the XLA planes pipeline. Gated by
-``config.set_use_pallas(True)`` / the ``use_pallas_aug`` argument of
-``train_pipeline``; default off until the on-chip A/B (bench pallas section)
-says otherwise on your hardware.
+``config.set_use_pallas_aug`` (tri-state) / the ``use_pallas_aug`` argument
+of ``train_pipeline``. Per-site defaults from the on-chip A/B (PERF.md
+round-3 session-5): ON inside standalone aug programs on TPU backends
+(2.2x device win), OFF inside Trainer.step_augmented's fused step (3.0x
+device loss in-program); ``set_use_pallas_aug(False)`` restores the planes
+path everywhere (e.g. for oracle comparisons).
 """
 
 from functools import partial
@@ -239,7 +242,7 @@ def augment_planes_fused(x, params, out_hw, hsv_pert_tuples=None,
 
     # VMEM-bound guard (same discipline as ops/conv.py's _vmem_ok): beyond
     # the flagship's sizes the per-image working set (fp32 HSV temporaries +
-    # padded bf16 shear planes + the uint8 input block) overflows ~16 MB of
+    # padded fp32 shear-lerp planes + the uint8 input block) overflows ~16 MB of
     # VMEM and Mosaic fails the whole compile — fall back to the XLA planes
     # path instead. Conservative live-set model: 6 fp32 HSV temps on the
     # crop + 4 fp32 lerp temps on the padded rotation planes + input + output

@@ -93,11 +93,16 @@ def summarize_device_trace(trace_dir, runs=1):
         if name.startswith("jit_"):  # the enclosing program slice
             top_level += e.get("dur", 0)
             continue
+        if name.isdigit():
+            # per-run step-marker lanes (the profiler names them "0","1",...)
+            # mirror the whole dispatch — counting them as ops would
+            # double-book the entire step time
+            continue
         tot[name] += e.get("dur", 0)
         count[name] += 1
 
-    rows = [(name, us / runs / 1e3, count[name] // runs,
-             100.0 * us / max(top_level, 1))
+    rows = [(name, us / runs / 1e3, max(1, round(count[name] / runs)),
+             100.0 * us / top_level if top_level > 0 else 0.0)
             for name, us in sorted(tot.items(), key=lambda kv: -kv[1])]
     return top_level / runs / 1e3, rows
 

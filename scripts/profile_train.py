@@ -85,6 +85,10 @@ def main():
             float(loss)
 
         top_ms, rows = summarize_device_trace(d, runs=runs)
+        if top_ms <= 0:
+            print("no jit_ device slices captured (degraded link or "
+                  "profiler produced no trace) — rerun in a healthy window")
+            return
         print_trace_summary(
             top_ms, rows,
             title=f"train step ({model} b{batch} @{image} bf16)")

@@ -192,8 +192,9 @@ def test_pallas_augment_lowers_to_tpu_mosaic():
 
 
 def test_pallas_augment_gates(monkeypatch, _aug_interpret):
-    """The production gates: (a) the global pallas flag falls back to the
-    XLA planes path on non-TPU backends instead of failing to compile;
+    """The production gates: (a) on non-TPU backends every config setting
+    (here the legacy global flag, forced on) falls back to the XLA planes
+    path instead of failing to compile;
     (b) non-uint8 batches never enter the kernel (its rounding clamps to
     [0,255]); (c) configs whose per-image working set exceeds the VMEM
     bound fall back to the planes path without building a kernel."""
