@@ -585,9 +585,17 @@ def bench_cam_p50(runs=20, batch=16, image=225, classes=120):
         np.asarray(cb)
         blat.append(time.perf_counter() - t0)
     bp50 = sorted(blat)[len(blat) // 2] * 1e3
-    log(f"CAM batched B={batch}: {bp50:.2f} ms/dispatch = "
-        f"{bp50 / batch:.2f} ms/image")
-    return p50, dev_ms, bp50 / batch
+    # the wall number includes fetching the full (B, top_k, H, W) fp32 CAM
+    # stack through the tunnel (~10 MB at B=16) — report device time too so
+    # the artifact separates compute from link
+    bdev_ms = _device_time_ms(
+        lambda: np.asarray(compute_cam_scores_batch(net, Xb, top_k=3)[1]
+                           )[0, 0, 0, 0], runs=3)
+    log(f"CAM batched B={batch}: {bp50:.2f} ms/dispatch wall = "
+        f"{bp50 / batch:.2f} ms/image"
+        + (f"; {bdev_ms:.2f} ms on-device = {bdev_ms / batch:.3f} ms/image"
+           if bdev_ms else ""))
+    return p50, dev_ms, bp50 / batch, (bdev_ms / batch) if bdev_ms else None
 
 
 def bench_inference(batch=128, runs=6, image=225, classes=120):
@@ -1077,11 +1085,14 @@ def main():
         log("skipping multi_step config (time budget)")
     if time_left() > 90:
         try:
-            p50, dev_ms, per_img = bench_cam_p50(runs=10)
+            p50, dev_ms, per_img, bdev_per_img = bench_cam_p50(runs=10)
             results["cam_p50_ms"] = round(p50, 2)
             if dev_ms:
                 results["cam_device_ms"] = round(dev_ms, 2)
             results["cam_batched_ms_per_image"] = round(per_img, 2)
+            if bdev_per_img:
+                results["cam_batched_device_ms_per_image"] = round(
+                    bdev_per_img, 3)
         except Exception as e:
             log(f"CAM bench failed: {e}")
     else:

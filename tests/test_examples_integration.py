@@ -318,8 +318,8 @@ def test_bench_serving_sections_smoke():
         batch=4, runs=1, image=32, classes=5)
     assert ips > 0 and q_ips > 0 and p50 > 0
 
-    p50, _dev, per_img = bench.bench_cam_p50(runs=2, batch=2, image=32,
-                                             classes=5)
+    p50, _dev, per_img, _bdev = bench.bench_cam_p50(runs=2, batch=2,
+                                                    image=32, classes=5)
     assert p50 > 0 and per_img > 0
 
 
