@@ -179,6 +179,50 @@ def _bench_train_inner(batch_size, steps, trials, image, classes, deadline, mode
     return ips, dev_ips
 
 
+def bench_train_accum(batch_size, k=2, reps=3, image=225, classes=120):
+    """One optimiser update from k accumulated micro-batches
+    (Trainer.accumulate_step) under the bf16 policy — the recommended
+    LARGE-batch configuration: XLA's per-image step cost cliffs right after
+    b128 (b256 native 27.3 ms vs 2x12.55 for two b128 passes, PERF.md
+    round-3), so an effective-b256/b512 update built from b128 micro-batch
+    gradients is ~10-24% faster than the native large-batch step. Standard
+    accumulation semantics: averaged gradients, BN statistics per
+    micro-batch. Reports img/s over the k*B trained images."""
+    import jax.numpy as jnp
+    import dorknet_tpu
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.optimisers import SGDMomentum
+    from dorknet_tpu.network import Trainer
+
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        np.random.seed(0)
+        net = ResNet18("bench-acc", num_classes=classes)
+        opt = SGDMomentum(net, 0.05 * (batch_size * k / 200.0), 0.9)
+        trainer = Trainer(net, opt)
+        Xs, ys = _device_batch(batch_size, image, classes, k=k)
+        for _ in range(2):
+            loss = trainer.accumulate_step(Xs, ys)
+        float(loss)  # compile + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loss = trainer.accumulate_step(Xs, ys)
+            float(loss)
+            best = min(best, time.perf_counter() - t0)
+        ips = batch_size * k / best
+        dms = _device_time_ms(
+            lambda: float(trainer.accumulate_step(Xs, ys)), runs=3)
+        dev_ips = batch_size * k / (dms / 1e3) if dms else None
+        if dev_ips:
+            log(f"  accumulate device: {dms:.2f} ms/update ({dev_ips:.0f} img/s)")
+        log(f"accumulate(bf16) {k}x b{batch_size}: best {best * 1e3:.2f} "
+            f"ms/update  {ips:.0f} img/s wall")
+        return ips, dev_ips
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+
+
 def bench_train_multistep(batch_size, k=4, reps=3, image=225, classes=120):
     """K fused steps per dispatch (Trainer.multi_step) under the bf16 policy —
     the recommended production configuration (measured fastest)."""
@@ -1083,6 +1127,23 @@ def main():
             log(f"multi_step failed: {e}")
     else:
         log("skipping multi_step config (time budget)")
+
+    if time_left() > 120:
+        try:
+            # effective-b256 via 2 x b128 gradient accumulation: sidesteps
+            # the post-128 tiling cliff (native b256 pays 27.3 ms/step,
+            # 2 x b128 accumulated pays ~24.7 — PERF.md round-3 session-5)
+            ips, dev_ips = bench_train_accum(128, k=2)
+            results["train_ips_b256eq_accum2x128_bf16"] = round(ips, 1)
+            consider(ips, "wall")
+            if dev_ips:
+                results["train_ips_b256eq_accum2x128_bf16_device"] = round(
+                    dev_ips, 1)
+                consider(dev_ips, "device")
+        except Exception as e:
+            log(f"accumulate_step bench failed: {e}")
+    else:
+        log("skipping accumulate_step config (time budget)")
     if time_left() > 90:
         try:
             p50, dev_ms, per_img, bdev_per_img = bench_cam_p50(runs=10)

@@ -288,6 +288,9 @@ def test_bench_functions_smoke():
     ips2, _dev2 = bench.bench_train_multistep(4, k=2, reps=1, image=32,
                                               classes=5)
     assert ips2 > 0
+    ips3, _dev3 = bench.bench_train_accum(4, k=2, reps=1, image=32,
+                                          classes=5)
+    assert ips3 > 0
     host, dev = bench.bench_aug_pipeline(n_images=8, image=32)
     assert host > 0 and dev > 0
     ok, err = bench.bench_spmd_dw_check(B=2, H=8, C=8)
