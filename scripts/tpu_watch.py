@@ -13,9 +13,11 @@ Usage:
 Battery (in order, cheapest diagnostic value first):
     1. bench.py               — the full driver artifact (serving, stretch,
                                 pallas_ok, fused-aug keys) under BENCH_BUDGET_S
-    2. scripts.profile_aug    — per-fusion device-time breakdown of the
+    2. scripts.profile_train  — per-fusion hotspot table of the flagship
+                                train step
+    3. scripts.profile_aug    — per-fusion device-time breakdown of the
                                 augmentation program
-    3. scripts.bench_serving_sweep — serving batch sweet-spot curve
+    4. scripts.bench_serving_sweep — serving batch sweet-spot curve
 
 Each battery item's stdout/stderr lands in <out>/NN_<name>.log; a summary
 line per item goes to <out>/watch.log.  Exit code 0 = battery ran (check the
@@ -44,8 +46,12 @@ PROBE_CODE = (
 )
 
 BATTERY = [
-    # (name, argv, timeout_s, extra_env)
+    # (name, argv, timeout_s, extra_env) — session-5 refresh: profile_aug /
+    # serving_sweep were captured (PERF.md round-3 session-5/6); the standing
+    # battery is now the full bench plus the train-step hotspot profile
     ("bench", [sys.executable, "bench.py"], 1500, {"BENCH_BUDGET_S": "1200"}),
+    ("profile_train",
+     [sys.executable, "-m", "scripts.profile_train", "128", "225"], 900, {}),
     ("profile_aug", [sys.executable, "-m", "scripts.profile_aug", "128", "225"], 900, {}),
     ("serving_sweep",
      [sys.executable, "-m", "scripts.bench_serving_sweep", "96", "112", "128", "144"],
