@@ -1,0 +1,147 @@
+"""Batch-size autotuner: find a model's per-image-optimal training batch.
+
+Why this exists (PERF.md round-3): XLA:TPU's per-image step cost is NOT
+monotone in batch size — the flagship's cost cliffs ~2x right after b128
+(layout/tiling choices flip once the batch passes a tile multiple), and the
+same cliff shape shows on every model in the zoo (MobileNetV2's b192 is 3.3x
+the per-image cost of its b128). Two practical consequences this module
+automates:
+
+1. the throughput-optimal per-device batch is found by sweeping, not by
+   maximising memory use;
+2. LARGER effective batches should be built from accumulated micro-batches
+   at the sweet spot (``Trainer.accumulate_step``), not native big batches —
+   measured +10.6% at effective-b256 and +24% at effective-b512 on the
+   flagship.
+
+The reference has no analogue (its batch size is a hand-picked constant,
+/root/reference/examples/imagenet_dogs_225_resnet_18_depsep.py:25); this is
+TPU-native production tooling.
+
+Usage::
+
+    from dorknet_tpu.utils.autotune import tune_train_batch
+    result = tune_train_batch(lambda name: ResNet18(name, num_classes=120))
+    result.best_batch          # e.g. 128
+    result.plan(512)           # -> ("accumulate", 4, 128) micro-batch plan
+    print(result.table())
+
+Timing: device time from a ``jax.profiler`` trace when available (immune to
+host-link noise — the only trustworthy number through the axon tunnel),
+wall time with a hard value-fetch sync otherwise.
+"""
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def measure_device_ms(thunk, runs=3):
+    """Total on-device ms per run of ``thunk`` (jax.profiler trace; the
+    library version of bench.py's _device_time_ms). Returns None when no
+    device trace can be captured (e.g. CPU test platforms)."""
+    import shutil
+    import tempfile
+
+    from dorknet_tpu.utils.profiling import summarize_device_trace
+
+    d = tempfile.mkdtemp(prefix="dorknet_tune_")
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(runs):
+                thunk()
+        top_ms, _ = summarize_device_trace(d, runs=runs)
+        return top_ms if top_ms > 0 else None
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@dataclass
+class TuneResult:
+    """Sweep outcome. ``rows`` are (batch, ms_per_step, img_per_sec, basis)
+    where basis is "device" or "wall"."""
+
+    rows: list = field(default_factory=list)
+
+    @property
+    def best_batch(self):
+        return max(self.rows, key=lambda r: r[2])[0]
+
+    @property
+    def best_ips(self):
+        return max(self.rows, key=lambda r: r[2])[2]
+
+    def plan(self, effective_batch):
+        """Micro-batch plan for a target effective batch: accumulate k
+        sweet-spot batches when that beats (or the sweep never measured) the
+        native step. Returns ("native", 1, B) or ("accumulate", k, B)."""
+        b = self.best_batch
+        if effective_batch <= b:
+            return ("native", 1, effective_batch)
+        k = -(-effective_batch // b)  # ceil
+        best_ms = next(ms for B, ms, _, _ in self.rows if B == b)
+        native = next((ms for B, ms, _, _ in self.rows
+                       if B == effective_batch), None)
+        if native is not None and native < k * best_ms:
+            return ("native", 1, effective_batch)
+        return ("accumulate", k, b)
+
+    def table(self):
+        lines = [f"{'batch':>6s} {'ms/step':>9s} {'img/s':>9s} basis"]
+        for B, ms, ips, basis in self.rows:
+            mark = "  <-- sweet spot" if B == self.best_batch else ""
+            lines.append(f"{B:6d} {ms:9.2f} {ips:9.0f} {basis}{mark}")
+        return "\n".join(lines)
+
+
+def tune_train_batch(build_net, batches=(64, 96, 128, 160, 192, 256),
+                     image=225, classes=120, make_optimiser=None,
+                     steps=4, warmup=3, prefer_device_time=True):
+    """Sweep training batch sizes for a model and return a TuneResult.
+
+    ``build_net(name) -> FeedForwardNetwork`` builds a FRESH network per
+    candidate (each batch size is its own trace; sharing a net would chain
+    optimiser state across candidates). ``make_optimiser(net, batch) ->
+    Optimiser`` defaults to the flagship recipe's linearly-scaled
+    SGDMomentum. Batches are created on device (a bulk device_put can stall
+    a degraded link for minutes)."""
+    from dorknet_tpu.network import Trainer
+    from dorknet_tpu.optimisers import SGDMomentum
+
+    if make_optimiser is None:
+        def make_optimiser(net, batch):
+            return SGDMomentum(net, 0.05 * (batch / 200.0), 0.9)
+
+    result = TuneResult()
+    for B in batches:
+        np.random.seed(0)
+        net = build_net(f"tune-b{B}")
+        trainer = Trainer(net, make_optimiser(net, B))
+        kx, ky = jax.random.split(jax.random.PRNGKey(B))
+        X = jax.random.normal(kx, (B, 3, image, image), jnp.float32)
+        y = jax.nn.one_hot(jax.random.randint(ky, (B,), 0, classes),
+                           classes, dtype=jnp.float32)
+        for _ in range(warmup):
+            loss, _ = trainer.step(X, y)
+        float(loss)  # hard sync (block_until_ready lies on the tunnel)
+
+        dms = (measure_device_ms(lambda: float(trainer.step(X, y)[0]),
+                                 runs=steps)
+               if prefer_device_time else None)
+        if dms is not None:
+            result.rows.append((B, dms, B / (dms / 1e3), "device"))
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                loss, _ = trainer.step(X, y)
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        result.rows.append((B, best * 1e3, B / best, "wall"))
+    return result

@@ -492,3 +492,49 @@ def test_orbax_async_checkpoint_snapshots_at_save_time(tmp_path):
                 for a, b in zip(jax.tree_util.tree_leaves(stepped),
                                 jax.tree_util.tree_leaves(at_save)))
     assert moved
+
+
+def test_autotune_batch_sweep():
+    """tune_train_batch sweeps fresh traces per candidate, returns the
+    per-image-optimal batch, and plan() composes accumulate micro-batches
+    for larger effective batches (the post-sweet-spot cliff workaround,
+    PERF.md round-3)."""
+    from dorknet_tpu.layers import (ConvLayer, DenseLayer,
+                                    GlobalAveragePoolingLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.network import FeedForwardNetwork
+    from dorknet_tpu.utils.autotune import TuneResult, tune_train_batch
+
+    def build(name):
+        np.random.seed(0)
+        net = FeedForwardNetwork(name)
+        net.add_layer(ConvLayer("c0", filter_block_shape=(4, 3, 3, 3)))
+        net.add_layer(GlobalAveragePoolingLayer("gap"))
+        net.add_layer(DenseLayer("d", incoming_chans=4, output_dim=3))
+        net.set_loss_layer(SoftmaxWithCrossEntropy("sm"))
+        return net
+
+    res = tune_train_batch(build, batches=(2, 4), image=12, classes=3,
+                           steps=2, warmup=2)
+    assert [r[0] for r in res.rows] == [2, 4]
+    assert all(ms > 0 and ips > 0 for _, ms, ips, _ in res.rows)
+    assert res.best_batch in (2, 4)
+    assert f"b{res.best_batch}" not in res.table()  # table shows ints
+    assert str(res.best_batch) in res.table()
+
+    # plan(): at or below the sweet spot -> native; above -> accumulate
+    # unless the native step was measured faster
+    mode, k, b = res.plan(res.best_batch)
+    assert (mode, k, b) == ("native", 1, res.best_batch)
+    mode, k, b = res.plan(res.best_batch * 4)
+    assert k * b >= res.best_batch * 4 and mode in ("native", "accumulate")
+
+    # synthetic cliff: native b8 measured SLOWER than 2x the b4 step ->
+    # accumulate plan; native b8 faster -> native plan
+    r = TuneResult(rows=[(4, 1.0, 4000.0, "device"),
+                         (8, 3.0, 2666.7, "device")])
+    assert r.plan(8) == ("accumulate", 2, 4)
+    r2 = TuneResult(rows=[(4, 1.0, 4000.0, "device"),
+                          (8, 1.5, 5333.3, "device")])
+    assert r2.plan(16) == ("accumulate", 2, 8)  # b8 is the sweet spot here
+    assert r2.plan(8) == ("native", 1, 8)
