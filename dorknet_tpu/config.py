@@ -172,6 +172,18 @@ def enable_compilation_cache(cache_dir=None):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # jax binds its persistent-cache singleton to the directory at FIRST
+    # use; without a reset, a second enable_compilation_cache (new dir)
+    # silently keeps writing to the old one (entries landed in A after the
+    # dir was switched to B — found by the suite-order flake in
+    # test_enable_compilation_cache). reset_cache drops the singleton so
+    # the next compile re-reads jax_compilation_cache_dir.
+    try:
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:
+        pass  # older/newer jax without reset_cache: first-call dir sticks
     return cache_dir
 
 
