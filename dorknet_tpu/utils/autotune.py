@@ -99,6 +99,44 @@ class TuneResult:
         return "\n".join(lines)
 
 
+def tune_serving_batch(network, batches=(64, 96, 112, 128, 144, 256),
+                       image=225, fold_bn=True, steps=4, warmup=3,
+                       prefer_device_time=True):
+    """Sweep serving batch sizes for an ALREADY-TRAINED network (BN running
+    stats initialised — the runner refuses placeholders) and return a
+    TuneResult. The serving curve has the same post-sweet-spot cliff as
+    training (round-3 sweep: b128 peaks at 64.9k bf16 img/s, b144 falls to
+    31.7k); plan() composes multiple sweet-spot dispatches for larger
+    request batches."""
+    from dorknet_tpu.network.inference import InferenceRunner
+
+    result = TuneResult()
+    for B in batches:
+        runner = InferenceRunner(network, batch_size=B, fold_bn=fold_bn)
+        X = jax.random.normal(jax.random.PRNGKey(B), (B, 3, image, image),
+                              jnp.float32)
+        for _ in range(warmup):
+            p = runner.predict_probs(X)
+        np.asarray(p[0, 0])  # hard sync
+
+        dms = (measure_device_ms(
+                   lambda: np.asarray(runner.predict_probs(X)[0, 0]),
+                   runs=steps)
+               if prefer_device_time else None)
+        if dms is not None:
+            result.rows.append((B, dms, B / (dms / 1e3), "device"))
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                p = runner.predict_probs(X)
+            np.asarray(p[0, 0])
+            best = min(best, (time.perf_counter() - t0) / steps)
+        result.rows.append((B, best * 1e3, B / best, "wall"))
+    return result
+
+
 def tune_train_batch(build_net, batches=(64, 96, 128, 160, 192, 256),
                      image=225, classes=120, make_optimiser=None,
                      steps=4, warmup=3, prefer_device_time=True):

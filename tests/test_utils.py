@@ -538,3 +538,32 @@ def test_autotune_batch_sweep():
                           (8, 1.5, 5333.3, "device")])
     assert r2.plan(16) == ("accumulate", 2, 8)  # b8 is the sweet spot here
     assert r2.plan(8) == ("native", 1, 8)
+
+
+def test_autotune_serving_sweep():
+    """tune_serving_batch sweeps InferenceRunner batch sizes on an
+    initialised network (BN stats adopted first)."""
+    from dorknet_tpu.layers import (BatchNormLayer, ConvLayer, DenseLayer,
+                                    GlobalAveragePoolingLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.network import FeedForwardNetwork, Trainer
+    from dorknet_tpu.optimisers import SGD
+    from dorknet_tpu.utils.autotune import tune_serving_batch
+
+    np.random.seed(0)
+    net = FeedForwardNetwork("serve-tune")
+    net.add_layer(ConvLayer("c0", filter_block_shape=(4, 3, 3, 3)))
+    net.add_layer(BatchNormLayer("bn0", incoming_chans=4))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d", incoming_chans=4, output_dim=3))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("sm"))
+    tr = Trainer(net, SGD(net, 0.01))
+    X0 = np.random.randn(4, 3, 12, 12).astype(np.float32)
+    oh = np.eye(3, dtype=np.float32)[[0, 1, 2, 0]]
+    float(tr.step(X0, oh)[0])  # adopt BN stats
+
+    res = tune_serving_batch(net, batches=(2, 4), image=12, steps=2,
+                             warmup=2)
+    assert [r[0] for r in res.rows] == [2, 4]
+    assert all(ms > 0 and ips > 0 for _, ms, ips, _ in res.rows)
+    assert res.best_batch in (2, 4)
