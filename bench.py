@@ -560,35 +560,13 @@ def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120
 def _device_time_ms(thunk, runs=5):
     """Total on-device ms per run of ``thunk`` via a jax.profiler trace —
     separates device compute from tunnel/dispatch wall time. Returns None if
-    the trace can't be taken/parsed (e.g. no profiler on the platform)."""
-    import glob
-    import gzip
-    import shutil
-    import tempfile
+    the trace can't be taken/parsed (e.g. no profiler on the platform).
+    Delegates to the library implementation so bench and the autotuner/
+    profile scripts parse traces identically (they had drifted: this inline
+    copy lacked the step-marker-lane and no-device-lane handling)."""
+    from dorknet_tpu.utils.autotune import measure_device_ms
 
-    d = tempfile.mkdtemp(prefix="dorknet_prof_")
-    try:
-        with jax.profiler.trace(d):
-            for _ in range(runs):
-                thunk()
-        ev = []
-        for p in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
-            with gzip.open(p, "rt") as f:
-                ev.extend(json.load(f).get("traceEvents", []))
-        pidname = {e["pid"]: e["args"].get("name", "") for e in ev
-                   if e.get("ph") == "M" and e.get("name") == "process_name"}
-        dev_pids = {p for p, n in pidname.items()
-                    if "TPU" in n or "tpu" in n or "device" in n.lower()}
-        # top-level jit slices only (children are nested fusions)
-        tot = sum(e.get("dur", 0) for e in ev
-                  if e.get("ph") == "X" and e.get("pid") in dev_pids
-                  and e.get("name", "").startswith("jit_"))
-        return tot / runs / 1e3 if tot else None
-    except Exception as e:
-        log(f"  (device-time trace failed: {e})")
-        return None
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return measure_device_ms(thunk, runs=runs)
 
 
 def bench_cam_p50(runs=20, batch=16, image=225, classes=120):

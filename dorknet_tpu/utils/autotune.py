@@ -41,9 +41,12 @@ import jax.numpy as jnp
 
 def measure_device_ms(thunk, runs=3):
     """Total on-device ms per run of ``thunk`` (jax.profiler trace; the
-    library version of bench.py's _device_time_ms). Returns None when no
-    device trace can be captured (e.g. CPU test platforms)."""
+    library form of what bench.py uses). Returns None when no device trace
+    can be captured (e.g. CPU test platforms) — loudly, so a systematic
+    trace/parse breakage cannot silently demote every measurement to
+    link-noise wall time."""
     import shutil
+    import sys
     import tempfile
 
     from dorknet_tpu.utils.profiling import summarize_device_trace
@@ -55,7 +58,9 @@ def measure_device_ms(thunk, runs=3):
                 thunk()
         top_ms, _ = summarize_device_trace(d, runs=runs)
         return top_ms if top_ms > 0 else None
-    except Exception:
+    except Exception as e:
+        print(f"(device-time trace failed, falling back to wall: "
+              f"{type(e).__name__}: {e})", file=sys.stderr, flush=True)
         return None
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -68,26 +73,41 @@ class TuneResult:
 
     rows: list = field(default_factory=list)
 
+    def _comparable(self):
+        """Rows safe to rank against each other. Device and wall ms are NOT
+        commensurable (wall carries a 10-100x link-noise factor on tunneled
+        hosts), so when one trace hiccup demotes a single candidate to wall
+        basis, that row is excluded from decisions rather than letting its
+        inflated ms lose (or its absence of device data win) unfairly."""
+        dev = [r for r in self.rows if r[3] == "device"]
+        return dev if dev else self.rows
+
     @property
     def best_batch(self):
-        return max(self.rows, key=lambda r: r[2])[0]
+        return max(self._comparable(), key=lambda r: r[2])[0]
 
     @property
     def best_ips(self):
-        return max(self.rows, key=lambda r: r[2])[2]
+        return max(self._comparable(), key=lambda r: r[2])[2]
 
     def plan(self, effective_batch):
         """Micro-batch plan for a target effective batch: accumulate k
         sweet-spot batches when that beats (or the sweep never measured) the
-        native step. Returns ("native", 1, B) or ("accumulate", k, B)."""
+        native step. Returns ("native", 1, B) or ("accumulate", k, B).
+        NOTE: when effective_batch is not a multiple of the sweet spot, the
+        realized effective batch is k*B (the smallest multiple covering the
+        target) — scale LR recipes by k*B, not the requested number. The
+        native-vs-accumulate cost comparison is per-image for that reason."""
+        rows = self._comparable()
         b = self.best_batch
         if effective_batch <= b:
             return ("native", 1, effective_batch)
-        k = -(-effective_batch // b)  # ceil
-        best_ms = next(ms for B, ms, _, _ in self.rows if B == b)
-        native = next((ms for B, ms, _, _ in self.rows
+        k = -(-effective_batch // b)  # ceil; realized effective = k*b
+        best_ms = next(ms for B, ms, _, _ in rows if B == b)
+        native = next((ms for B, ms, _, _ in rows
                        if B == effective_batch), None)
-        if native is not None and native < k * best_ms:
+        if native is not None and \
+                native / effective_batch < (k * best_ms) / (k * b):
             return ("native", 1, effective_batch)
         return ("accumulate", k, b)
 
@@ -113,14 +133,18 @@ def tune_serving_batch(network, batches=(64, 96, 112, 128, 144, 256),
     result = TuneResult()
     for B in batches:
         runner = InferenceRunner(network, batch_size=B, fold_bn=fold_bn)
+        # device-resident timing via _run_fixed (same as bench.py /
+        # bench_serving_sweep): predict_probs is the ragged HOST API — it
+        # round-trips the whole batch through numpy each call, which on a
+        # tunneled host measures link transfer, not the serving step
         X = jax.random.normal(jax.random.PRNGKey(B), (B, 3, image, image),
                               jnp.float32)
-        for _ in range(warmup):
-            p = runner.predict_probs(X)
-        np.asarray(p[0, 0])  # hard sync
+        for _ in range(max(1, warmup)):
+            p = runner._run_fixed(X)
+        np.asarray(p[0, 0])  # hard sync (one scalar)
 
         dms = (measure_device_ms(
-                   lambda: np.asarray(runner.predict_probs(X)[0, 0]),
+                   lambda: np.asarray(runner._run_fixed(X)[0, 0]),
                    runs=steps)
                if prefer_device_time else None)
         if dms is not None:
@@ -130,7 +154,7 @@ def tune_serving_batch(network, batches=(64, 96, 112, 128, 144, 256),
         for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(steps):
-                p = runner.predict_probs(X)
+                p = runner._run_fixed(X)
             np.asarray(p[0, 0])
             best = min(best, (time.perf_counter() - t0) / steps)
         result.rows.append((B, best * 1e3, B / best, "wall"))
@@ -164,7 +188,7 @@ def tune_train_batch(build_net, batches=(64, 96, 128, 160, 192, 256),
         X = jax.random.normal(kx, (B, 3, image, image), jnp.float32)
         y = jax.nn.one_hot(jax.random.randint(ky, (B,), 0, classes),
                            classes, dtype=jnp.float32)
-        for _ in range(warmup):
+        for _ in range(max(1, warmup)):  # >=1: the sync below needs a loss
             loss, _ = trainer.step(X, y)
         float(loss)  # hard sync (block_until_ready lies on the tunnel)
 

@@ -88,6 +88,8 @@ def main():
             how = f"{k} dispatches of b{b}"
         else:
             how = f"Trainer.accumulate_step over {k} x b{b} micro-batches"
+        if mode != "native" and k * b != eff:
+            how += f" (realized effective b{k * b} — scale the LR to it)"
         print(f"effective b{eff}: {how}")
 
 

@@ -567,3 +567,19 @@ def test_autotune_serving_sweep():
     assert [r[0] for r in res.rows] == [2, 4]
     assert all(ms > 0 and ips > 0 for _, ms, ips, _ in res.rows)
     assert res.best_batch in (2, 4)
+
+
+def test_autotune_mixed_basis_excludes_wall_rows():
+    """One trace hiccup demotes a row to wall basis (10-100x inflated on
+    tunneled hosts) — decisions must then use only the device rows."""
+    from dorknet_tpu.utils.autotune import TuneResult
+
+    r = TuneResult(rows=[(4, 1.0, 4000.0, "device"),
+                         (8, 120.0, 66.7, "wall"),      # trace hiccup
+                         (16, 5.0, 3200.0, "device")])
+    assert r.best_batch == 4                     # wall row never wins...
+    mode, k, b = r.plan(8)
+    assert (mode, k, b) == ("accumulate", 2, 4)  # ...nor vetoes accumulate
+    # all-wall sweeps still work (rows are then commensurable)
+    w = TuneResult(rows=[(2, 1.0, 2000.0, "wall"), (4, 4.0, 1000.0, "wall")])
+    assert w.best_batch == 2
