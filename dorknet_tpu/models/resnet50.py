@@ -71,3 +71,16 @@ class ResNet50(FeedForwardNetwork):
                                   output_dim=num_classes,
                                   weight_regulariser=l2(0.0001)))
         self.set_loss_layer(SoftmaxWithCrossEntropy("softmax"))
+
+
+class ResNet101(ResNet50):
+    """ResNet-101: the ResNet-50 builder with the canonical deeper stage-3
+    (23 bottlenecks instead of 6 — He et al. table 1). Same stem, widths,
+    skip projections, h5 schema."""
+
+    _STAGES = [
+        (64, 256, 3, 1),
+        (128, 512, 4, 2),
+        (256, 1024, 23, 2),
+        (512, 2048, 3, 2),
+    ]

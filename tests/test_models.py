@@ -243,3 +243,16 @@ def test_mobilenet_v3_large_convergence_smoke():
     _converges_on_channel_task(MobileNetV3Large("mnv3l-conv", num_classes=4,
                                                 width_mult=0.5), 4,
                                steps=60, lr=2e-3, signal=0.5)
+
+
+def test_resnet101(tmp_path):
+    """ResNet-101: the deeper stage-3 (23 bottlenecks) on the shared
+    ResNet-50 builder — one train step + h5 roundtrip."""
+    from dorknet_tpu.models import ResNet101
+
+    np.random.seed(0)
+    net = ResNet101("r101", num_classes=5)
+    assert sum(1 for l in net.layers
+               if l.layer_name.startswith("s3b")) == 23
+    X = np.random.randn(2, 3, 64, 64).astype(np.float32)
+    _one_step_and_roundtrip(net, X, 5, tmp_path)
