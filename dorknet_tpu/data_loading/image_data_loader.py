@@ -73,7 +73,8 @@ class ImageDataLoader:
                  classes_from_dir_structure=True, num_workers=1,
                  class_balance=True, mixup_range_tuple=None,
                  start_thread=True, use_native_loader=False,
-                 emit_hwc_uint8=False, data_shard=None):
+                 emit_hwc_uint8=False, data_shard=None,
+                 fast_jpeg_scale=False):
         """emit_hwc_uint8=True is the on-device-augmentation mode: the host
         only decodes + resizes to the preprocessor's precrop size and emits
         (B, precrop_h, precrop_w, 3) uint8 BGR batches; crop / flip / HSV /
@@ -87,7 +88,17 @@ class ImageDataLoader:
         constructs its loader with its own process index, feeds its local
         rows, and the shards are disjoint with union = the full dataset.
         Labels are assigned from the FULL directory listing, so class ids
-        agree across hosts regardless of which files a shard holds."""
+        agree across hosts regardless of which files a shard holds.
+
+        fast_jpeg_scale=True (native loader only) decodes JPEGs at the
+        smallest libjpeg DCT scale covering the precrop size, engaged only
+        for sources >= ~2x the target (measured 1.25-1.5x on decode+resize
+        alone, ~1.15x through the whole per-image pipeline; nearer sizes
+        keep the exact full decode). Engaged
+        decodes are not bit-identical to cv2's full-decode+bilinear. Use
+        when the host decode rate is the input-pipeline ceiling
+        (bench_e2e_train's decoded-img/s) and exact cv2 parity is not
+        required."""
         self.keep_loading = True
         self.preprocessor = preprocessor
         self.emit_hwc_uint8 = emit_hwc_uint8
@@ -98,6 +109,7 @@ class ImageDataLoader:
         # augmenter (host augmentation needs the cv2 path; on-device
         # augmentation pairs with decode_batch_hwc instead).
         self.use_native_loader = False
+        self.fast_jpeg_scale = bool(fast_jpeg_scale)
         if use_native_loader:
             from dorknet_tpu.native import native_loader_available
 
@@ -252,7 +264,8 @@ class ImageDataLoader:
                 from dorknet_tpu.native import decode_batch_hwc
 
                 out, ok = decode_batch_hwc(X_batch_list, precrop,
-                                           num_workers_hint(self.num_workers))
+                                           num_workers_hint(self.num_workers),
+                                           fast_scale=self.fast_jpeg_scale)
                 if ok < len(X_batch_list):
                     print("ImageDataLoader: {} of {} images failed to decode "
                           "(zero-filled)".format(len(X_batch_list) - ok,
@@ -289,7 +302,8 @@ class ImageDataLoader:
             mode = pp.crop_mode if pp.crop_mode in ("center", "random") else "resize"
             out, ok = decode_batch(X_batch_list, precrop, crop, mode,
                                    num_workers_hint(self.num_workers),
-                                   seed=np.random.randint(0, 2 ** 31))
+                                   seed=np.random.randint(0, 2 ** 31),
+                                   fast_scale=self.fast_jpeg_scale)
             if ok < len(X_batch_list):
                 print("ImageDataLoader: {} of {} images failed to decode "
                       "(zero-filled)".format(len(X_batch_list) - ok,

@@ -46,8 +46,29 @@ def _load():
     lib.dk_pool_poll.restype = ctypes.c_int
     lib.dk_pool_poll.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_int)]
+    # v2 (fast_scale) entry points — absent in a stale pre-v2 .so, in which
+    # case fast_scale requests raise with a rebuild hint instead of calling
+    # a mismatched signature
+    lib._has_v2 = hasattr(lib, "dorknet_decode_batch2")
+    if lib._has_v2:
+        lib.dorknet_decode_batch2.restype = ctypes.c_int
+        lib.dorknet_decode_batch2.argtypes = \
+            lib.dorknet_decode_batch.argtypes + [ctypes.c_int]
+        lib.dorknet_decode_batch_hwc2.restype = ctypes.c_int
+        lib.dorknet_decode_batch_hwc2.argtypes = \
+            lib.dorknet_decode_batch_hwc.argtypes + [ctypes.c_int]
+        lib.dk_pool_submit2.restype = ctypes.c_int
+        lib.dk_pool_submit2.argtypes = \
+            lib.dk_pool_submit.argtypes + [ctypes.c_int]
     _lib = lib
     return lib
+
+
+def _require_v2(lib, what):
+    if not getattr(lib, "_has_v2", False):
+        raise RuntimeError(
+            what + " needs the v2 native loader (fast_scale) — rebuild with "
+            "make -C native or dorknet_tpu.native.build_native()")
 
 
 def build_native():
@@ -69,10 +90,19 @@ def _path_array(paths):
 
 
 def decode_batch(paths, precrop_hw, crop_hw, crop_mode="center",
-                 num_threads=None, seed=0):
+                 num_threads=None, seed=0, fast_scale=False):
     """Decode+preprocess a batch natively → (N, 3, crop_h, crop_w) float32,
     BGR CHW, -128 shifted (the reference preprocessor's output format).
     crop_mode: "center" | "random" | "resize" (plain resize, no crop).
+
+    fast_scale=True decodes JPEGs at the smallest libjpeg DCT scale (M/8)
+    that still covers the precrop size, engaged only when M <= 4 (source
+    >= ~2x the target, where the scaled IDCT measures 1.25-1.5x on
+    decode+resize alone, ~1.15x through the whole per-image pipeline;
+    nearer sizes keep the exact full decode — scaled IDCT is a wash or
+    slower there). When engaged the output is NOT
+    bit-identical to cv2's full-decode+bilinear (the default stays exact;
+    PNGs are always full-decoded).
 
     Formats: JPEG and PNG only. Anything else (BMP/TIFF/WebP, CMYK JPEG)
     zero-fills that slot and is counted in ``n - ok`` — datasets with such
@@ -90,15 +120,23 @@ def decode_batch(paths, precrop_hw, crop_hw, crop_mode="center",
     # np.empty: the native side writes every element (zero-fills failures)
     out = np.empty((n, 3, crop_hw[0], crop_hw[1]), dtype=np.float32)
     threads = num_threads or min(16, os.cpu_count() or 1)
-    ok = lib.dorknet_decode_batch(
-        _path_array(paths), n, precrop_hw[0], precrop_hw[1],
-        crop_hw[0], crop_hw[1], mode,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
-        ctypes.c_uint64(seed))
+    if fast_scale:
+        _require_v2(lib, "decode_batch(fast_scale=True)")
+        ok = lib.dorknet_decode_batch2(
+            _path_array(paths), n, precrop_hw[0], precrop_hw[1],
+            crop_hw[0], crop_hw[1], mode,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+            ctypes.c_uint64(seed), 1)
+    else:
+        ok = lib.dorknet_decode_batch(
+            _path_array(paths), n, precrop_hw[0], precrop_hw[1],
+            crop_hw[0], crop_hw[1], mode,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+            ctypes.c_uint64(seed))
     return out, ok
 
 
-def decode_batch_hwc(paths, precrop_hw, num_threads=None):
+def decode_batch_hwc(paths, precrop_hw, num_threads=None, fast_scale=False):
     """Decode+resize only → (N, precrop_h, precrop_w, 3) uint8 BGR, for the
     on-device augmentation path (crop/flip/HSV/rotate happen on the TPU)."""
     lib = _load()
@@ -108,9 +146,15 @@ def decode_batch_hwc(paths, precrop_hw, num_threads=None):
     n = len(paths)
     out = np.empty((n, precrop_hw[0], precrop_hw[1], 3), dtype=np.uint8)
     threads = num_threads or min(16, os.cpu_count() or 1)
-    ok = lib.dorknet_decode_batch_hwc(
-        _path_array(paths), n, precrop_hw[0], precrop_hw[1],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    if fast_scale:
+        _require_v2(lib, "decode_batch_hwc(fast_scale=True)")
+        ok = lib.dorknet_decode_batch_hwc2(
+            _path_array(paths), n, precrop_hw[0], precrop_hw[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads, 1)
+    else:
+        ok = lib.dorknet_decode_batch_hwc(
+            _path_array(paths), n, precrop_hw[0], precrop_hw[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     return out, ok
 
 
@@ -135,7 +179,8 @@ class AsyncDecodePool:
         self._jobs = {}
         self._done = {}  # job_id -> ok_count, set when native poll completes
 
-    def submit(self, paths, precrop_hw, crop_hw, crop_mode="center", seed=0):
+    def submit(self, paths, precrop_hw, crop_hw, crop_mode="center", seed=0,
+               fast_scale=False):
         mode = {"center": 0, "random": 1, "resize": 2}[crop_mode]
         if mode != 2 and (crop_hw[0] > precrop_hw[0]
                           or crop_hw[1] > precrop_hw[1]):
@@ -145,11 +190,19 @@ class AsyncDecodePool:
         out = np.empty((len(paths), 3, crop_hw[0], crop_hw[1]),
                        dtype=np.float32)
         arr = _path_array(paths)
-        job_id = self._lib.dk_pool_submit(
-            self._pool, arr, len(paths), precrop_hw[0], precrop_hw[1],
-            crop_hw[0], crop_hw[1], mode,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.c_uint64(seed))
+        if fast_scale:
+            _require_v2(self._lib, "AsyncDecodePool.submit(fast_scale=True)")
+            job_id = self._lib.dk_pool_submit2(
+                self._pool, arr, len(paths), precrop_hw[0], precrop_hw[1],
+                crop_hw[0], crop_hw[1], mode,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_uint64(seed), 1)
+        else:
+            job_id = self._lib.dk_pool_submit(
+                self._pool, arr, len(paths), precrop_hw[0], precrop_hw[1],
+                crop_hw[0], crop_hw[1], mode,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_uint64(seed))
         self._jobs[job_id] = out  # keep the buffer alive until collected
         self._done.pop(job_id, None)  # native ids are reused after release
         return job_id

@@ -286,3 +286,96 @@ def test_nonsquare_crop_matches_cv2_path(tmp_path):
     assert ok == 1
     assert out[0].shape == host.shape, (out[0].shape, host.shape)
     np.testing.assert_allclose(out[0], host, atol=2.0)  # resize rounding
+
+
+def test_fast_jpeg_scale_decode(tmp_path):
+    """fast_scale=True: JPEGs decode at the smallest covering DCT scale,
+    stay close to the exact full-decode path on smooth content, and keep
+    the exact output geometry. PNGs are unaffected (always full decode)."""
+    from dorknet_tpu.native import decode_batch, decode_batch_hwc
+
+    # smooth gradient photos (noise images would legitimately differ a lot
+    # under a different low-pass: DCT scaling averages, bilinear picks) —
+    # 600x520 -> precrop 160 engages a 3/8 scale
+    yy, xx = np.mgrid[0:520, 0:600]
+    base = np.stack([(xx * 0.4) % 256, (yy * 0.4) % 256,
+                     ((xx + yy) * 0.2) % 256], -1).astype(np.uint8)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"big{i}.jpg")
+        cv2.imwrite(p, np.roll(base, i * 11, axis=1))
+        paths.append(p)
+    png = str(tmp_path / "big.png")
+    cv2.imwrite(png, base)
+    paths.append(png)
+
+    exact, ok1 = decode_batch(paths, (160, 160), (128, 128), "center")
+    fast, ok2 = decode_batch(paths, (160, 160), (128, 128), "center",
+                             fast_scale=True)
+    assert ok1 == ok2 == len(paths)
+    assert exact.shape == fast.shape
+    # smooth content: the two resampling routes agree closely
+    diff = np.abs(exact - fast)
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.percentile(diff, 99) < 16.0, np.percentile(diff, 99)
+    # the png slot is bit-identical (no scaled decode path exists for png)
+    np.testing.assert_array_equal(exact[3], fast[3])
+
+    # hwc (on-device-augmentation) variant too
+    e_hwc, _ = decode_batch_hwc(paths, (160, 160))
+    f_hwc, _ = decode_batch_hwc(paths, (160, 160), fast_scale=True)
+    assert e_hwc.shape == f_hwc.shape
+    assert np.abs(e_hwc.astype(np.int32)
+                  - f_hwc.astype(np.int32)).mean() < 3.0
+    np.testing.assert_array_equal(e_hwc[3], f_hwc[3])
+
+    # images already smaller than 8/7 of the target: fast == exact
+    # bit-for-bit (scale stays 8/8, same decode)
+    small = str(tmp_path / "small.jpg")
+    cv2.imwrite(small, base[:170, :170])
+    es, _ = decode_batch([small], (160, 160), (128, 128), "center")
+    fs, _ = decode_batch([small], (160, 160), (128, 128), "center",
+                         fast_scale=True)
+    np.testing.assert_array_equal(es, fs)
+
+
+def test_fast_jpeg_scale_loader_and_pool(tmp_path):
+    """fast_jpeg_scale threads through ImageDataLoader and AsyncDecodePool."""
+    from dorknet_tpu.data_loading import ImageDataLoader, ImagePreprocessor
+    from dorknet_tpu.native import AsyncDecodePool, decode_batch
+
+    yy, xx = np.mgrid[0:400, 0:400]
+    im = np.stack([(xx * 0.5) % 256, (yy * 0.5) % 256, (xx * 0.3) % 256],
+                  -1).astype(np.uint8)
+    for cls in range(2):
+        d = tmp_path / f"class{cls}" / "images"
+        d.mkdir(parents=True)
+        for i in range(4):
+            cv2.imwrite(str(d / f"{i}.jpg"), np.roll(im, i * 7, axis=0))
+
+    pp = ImagePreprocessor((96, 96), crop_mode="center",
+                           precrop_size=(120, 120))
+    loader = ImageDataLoader(str(tmp_path), batch_size=4, preprocessor=pp,
+                             class_balance=False, num_workers=1,
+                             use_native_loader=True, fast_jpeg_scale=True)
+    try:
+        assert loader.use_native_loader and loader.fast_jpeg_scale
+        X, y, oh = next(iter(loader.pull_batch(1)))
+        assert X.shape == (4, 3, 96, 96) and np.isfinite(X).all()
+        assert X.std() > 1.0  # decoded content, not zero-fill
+    finally:
+        loader.stop_thread()
+
+    # pool submit(fast_scale=True) matches the sync fast path bit-for-bit
+    paths = sorted(str(p) for p in (tmp_path / "class0" / "images").iterdir())
+    want, _ = decode_batch(paths, (120, 120), (96, 96), "center",
+                           fast_scale=True)
+    pool = AsyncDecodePool(threads=2)
+    try:
+        job = pool.submit(paths, (120, 120), (96, 96), "center",
+                          fast_scale=True)
+        got, ok = pool.wait(job)
+    finally:
+        pool.close()
+    assert ok == len(paths)
+    np.testing.assert_array_equal(got, want)
