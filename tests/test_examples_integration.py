@@ -458,3 +458,34 @@ def test_bench_pallas_aug_smoke(monkeypatch):
     ok, max_diff, _planes_ips, _pallas_ips = bench.bench_pallas_aug(
         batch=2, image=32)
     assert ok and max_diff <= 1
+
+
+def test_serving_load_harness_smoke():
+    """scripts/bench_serving_load's open-loop Poisson client drives a
+    BatchingServer end-to-end (tiny CPU config): completions arrive, the
+    batcher coalesces rows, and close() leaves nothing hanging."""
+    import numpy as np
+
+    from scripts.bench_serving_load import run_load
+    from dorknet_tpu.network import BatchingServer, InferenceRunner, Trainer
+    from dorknet_tpu.optimisers import SGD
+    from tests.test_network import small_net, toy_batch
+
+    np.random.seed(0)
+    net = small_net(seed=5)
+    X, y, oh = toy_batch(B=8)
+    tr = Trainer(net, SGD(net, 0.01))
+    float(tr.step(X, oh)[0])
+
+    image = X.shape[2]
+    runner = InferenceRunner(net, batch_size=4)
+    server = BatchingServer(runner, max_wait_ms=1.0, max_pending=64)
+    try:
+        lat, shed = run_load(server, image, rate_rps=200.0, duration_s=1.0,
+                             rng=np.random.RandomState(0))
+    finally:
+        server.close()
+    assert len(lat) > 10, (len(lat), shed)
+    assert all(t > 0 for t in lat)
+    assert server.rows_served >= len(lat)
+    assert server.dispatches <= server.rows_served  # batching happened
