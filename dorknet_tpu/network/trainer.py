@@ -201,6 +201,17 @@ class Trainer:
             self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
 
+    def _sharding_for(self, ndim):
+        """``batch_sharding`` truncated to ``ndim`` dims. A spatial input spec
+        (4 entries, see parallel.spatial_batch_sharding) must not be applied
+        to the 2-D label tensor — labels shard by the batch axis alone."""
+        s = self.batch_sharding
+        if s is None or len(s.spec) <= ndim:
+            return s
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(s.mesh, P(*s.spec[:ndim]))
+
     def _place_stacked(self, X_stack, y_stack, keep_x_dtype=False):
         """Place (K, B, ...) stacks: dim 1 (batch) sharded per
         batch_sharding, the K dim replicated. keep_x_dtype preserves the raw
@@ -211,8 +222,10 @@ class Trainer:
         if self.batch_sharding is not None:
             s = self.batch_sharding
             sharding = NamedSharding(s.mesh, P(None, *s.spec))
+            sy = self._sharding_for(2)
+            sharding_y = NamedSharding(sy.mesh, P(None, *sy.spec))
         else:
-            sharding = None
+            sharding = sharding_y = None
         if not isinstance(X_stack, jax.Array):
             X_stack = np.ascontiguousarray(
                 X_stack) if keep_x_dtype else np.ascontiguousarray(
@@ -220,7 +233,7 @@ class Trainer:
         if not isinstance(y_stack, jax.Array):
             y_stack = np.ascontiguousarray(y_stack, dtype=np.float32)
         return (jax.device_put(X_stack, sharding),
-                jax.device_put(y_stack, sharding))
+                jax.device_put(y_stack, sharding_y))
 
     def _place_batch(self, X, y):
         # device_put (async) — measurably faster than jnp.asarray through the
@@ -232,7 +245,7 @@ class Trainer:
         if not isinstance(y, jax.Array):
             y = np.ascontiguousarray(y, dtype=np.float32)
         X = jax.device_put(X, self.batch_sharding)
-        y = jax.device_put(y, self.batch_sharding)
+        y = jax.device_put(y, self._sharding_for(2))
         return X, y
 
     def _prepare(self):
@@ -491,7 +504,7 @@ class Trainer:
         if not isinstance(y, jax.Array):
             y = np.ascontiguousarray(y, dtype=np.float32)
         return (jax.device_put(X, self.batch_sharding),
-                jax.device_put(y, self.batch_sharding))
+                jax.device_put(y, self._sharding_for(2)))
 
     def step_augmented(self, rng, X_precrop, one_hot, out_hw,
                        hsv_pert_tuples=None, rotation_tuple=None,

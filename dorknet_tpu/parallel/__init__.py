@@ -2,6 +2,7 @@ from dorknet_tpu.parallel.multihost import initialize, is_main_process, local_ba
 from dorknet_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    spatial_batch_sharding,
     replicated,
     model_parallel_param_shardings,
     fsdp_param_shardings,
@@ -14,6 +15,7 @@ __all__ = [
     "local_batch_slice",
     "make_mesh",
     "batch_sharding",
+    "spatial_batch_sharding",
     "replicated",
     "model_parallel_param_shardings",
     "fsdp_param_shardings",

@@ -16,11 +16,19 @@ scales through ``jax.sharding`` instead of a hand-rolled transport:
   by sharding inheritance, optimiser + EMA state) over the ``data`` axis; XLA
   all-gathers weights just-in-time and reduce-scatters gradients from the
   annotations alone.
-* **Pipeline (PP), sequence/context (SP/CP) and expert (EP) parallelism are
-  N/A by construction** for this framework: a CNN layer zoo with no sequence
-  axis, no experts, and models that fit comfortably on one chip (SURVEY §2.7,
-  §5). The mesh interface would carry them (extra axes) if a stretch model
-  needed it.
+* **Spatial partitioning (SP)** — the CNN analogue of sequence/context
+  parallelism: ``spatial_batch_sharding`` shards the image-row (H) dimension
+  of the input batch over a ``spatial`` mesh axis in addition to (or instead
+  of) the batch axis. XLA SPMD propagates the spatial sharding through the
+  network and inserts the halo exchanges each conv/pool window needs at
+  shard boundaries — no hand-written halo code. This is how training scales
+  past one chip's HBM when the *resolution*, not the batch, is what's big
+  (the reference's only "scale" axis is image resolution — SURVEY §5);
+  with batch-sized meshes it also composes with DP on the same mesh.
+* **Pipeline (PP) and expert (EP) parallelism are N/A by construction** for
+  this framework: a CNN layer zoo with no experts, and models that fit
+  comfortably on one chip (SURVEY §2.7, §5). The mesh interface would carry
+  them (extra axes) if a stretch model needed it.
 
 Everything here works identically on a real multi-chip slice and on virtual CPU
 devices (``--xla_force_host_platform_device_count=N``), which is how the test
@@ -53,6 +61,39 @@ def batch_sharding(mesh, axis="data"):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def spatial_batch_sharding(mesh, batch_axis="data", spatial_axis="spatial",
+                           layout="NCHW"):
+    """Shard input batches over BOTH the batch dim and the image-row (H) dim —
+    CNN sequence/context parallelism. Pass the result as
+    ``Trainer(batch_sharding=...)`` (the Trainer shards labels by the batch
+    axis only — a label tensor has no spatial dims).
+
+    XLA SPMD keeps the activations row-sharded through the network and
+    materialises the halo exchanges every 3x3/5x5 conv window needs at shard
+    boundaries from the sharding annotations alone (GSPMD spatial
+    partitioning); batch-norm statistics and the loss stay exact because
+    ``jnp.mean`` over a sharded H IS the cross-shard mean under global jit
+    semantics. The depthwise weight gradient is covered too: the SPMD-safe
+    rule (ops/conv.py:_dw_filter_grad_cp) declares spatial dims as
+    replication factors, so GSPMD gathers rows for that one contraction
+    instead of mis-partitioning it.
+
+    Use ``batch_axis=None`` for pure spatial partitioning (a batch too small
+    to split — e.g. B=1 gigapixel inputs); ``layout="NHWC"`` when the trainer
+    runs ``input_layout="NHWC"`` (H is dim 1 there).
+
+    Numerics: equality with the single-device step is pinned by
+    tests/test_parallel.py::test_spatial_* and the driver's
+    dryrun_multichip. H need not divide the axis size (GSPMD pads), but
+    even shards are what make the halo traffic balanced."""
+    assert layout in ("NCHW", "NHWC"), layout
+    if layout == "NCHW":
+        spec = P(batch_axis, None, spatial_axis, None)
+    else:
+        spec = P(batch_axis, spatial_axis, None, None)
+    return NamedSharding(mesh, spec)
 
 
 def _tp_spec_for(path_hint, arr, axis):

@@ -370,6 +370,130 @@ def test_xla_grouped_conv_dgrad_spmd_bug_canary():
         "(see ops/conv.py:_depthwise_core_bwd and PERF.md round-3)")
 
 
+def _build_spatial_net(seed):
+    """A net that exercises every windowed op class under row shards:
+    3x3 conv (halo exchange), stride-2 depthwise (halo + stride), max-pool
+    (reduce_window), pointwise stride-2 (strided slice), GAP (full spatial
+    reduction) — plus BN whose batch statistics must stay the GLOBAL
+    (cross-shard) mean."""
+    from dorknet_tpu.layers import (DepthwiseConvLayer, MaxPoolLayer,
+                                    PointwiseConvLayer)
+
+    np.random.seed(seed)
+    net = FeedForwardNetwork("par-sp")
+    net.add_layer(ConvLayer("c1", filter_block_shape=(16, 3, 3, 3),
+                            with_bias=False, weight_regulariser=l2(1e-4)))
+    net.add_layer(BatchNormLayer("bn1", incoming_chans=16))
+    net.add_layer(ReLu("r1"))
+    net.add_layer(MaxPoolLayer("mp1", stride=2))
+    net.add_layer(DepthwiseConvLayer("dw1", filter_block_shape=(16, 3, 3),
+                                     stride=2, with_bias=False))
+    net.add_layer(BatchNormLayer("bn2", incoming_chans=16))
+    net.add_layer(ReLu("r2"))
+    net.add_layer(PointwiseConvLayer("pw1", filter_block_shape=(32, 16),
+                                     stride=2, with_bias=False))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d1", incoming_chans=32, output_dim=8))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("s"))
+    return net
+
+
+def test_spatial_partitioning_matches_single_device():
+    """SP (CNN sequence/context parallelism): image rows sharded over a
+    ``spatial`` mesh axis alongside the batch axis. GSPMD materialises the
+    conv/pool halo exchanges from the annotations; the loss AND post-step
+    param trajectory must equal the single-device run exactly (same
+    global-jit-semantics guarantee as DP)."""
+    from dorknet_tpu.parallel import spatial_batch_sharding
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(4, 3, 32, 32).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, 4)]
+
+    net_a = _build_spatial_net(31)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"data": 2, "spatial": 4})
+    net_b = _build_spatial_net(31)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=spatial_batch_sharding(mesh))
+
+    for _ in range(3):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    for pa, pb in zip(net_a.gather_params(), net_b.gather_params()):
+        for xa, xb in zip(jax.tree_util.tree_leaves(pa),
+                          jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=5e-3, atol=5e-4)
+    # BN running stats came from GLOBAL (cross-row-shard) batch stats
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
+        np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
+        rtol=1e-4, atol=1e-6)
+
+    # the input really was split along H: each shard holds H/4 rows
+    placed = tr_b._place_batch(X, y)[0]
+    assert len(placed.sharding.device_set) == 8
+    assert placed.addressable_shards[0].data.shape == (2, 3, 8, 32)
+    # ...while labels shard by batch only (2-D tensors take no spatial spec)
+    ly = tr_b._place_batch(X, y)[1]
+    assert ly.addressable_shards[0].data.shape == (2, 8)
+
+
+def test_pure_spatial_partitioning_tiny_batch():
+    """batch_axis=None: ALL 8 devices split the rows of a batch too small to
+    data-shard (B=2) — the huge-resolution/small-batch regime SP exists for.
+    Loss must match the single-device step."""
+    from dorknet_tpu.parallel import spatial_batch_sharding
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(2, 3, 64, 64).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, 2)]
+
+    net_a = _build_spatial_net(33)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"spatial": 8})
+    net_b = _build_spatial_net(33)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=spatial_batch_sharding(
+                       mesh, batch_axis=None, spatial_axis="spatial"))
+
+    for _ in range(2):
+        la, _ = tr_a.step(X, y)
+        lb, _ = tr_b.step(X, y)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    placed = tr_b._place_batch(X, y)[0]
+    assert placed.addressable_shards[0].data.shape == (2, 3, 8, 64)
+
+
+def test_spatial_multi_step_sharded():
+    """multi_step with a spatially-sharded stack: (K, B, C, H, W) places as
+    P(None, data, None, spatial, None) and the label stack truncates to
+    P(None, data)."""
+    from dorknet_tpu.parallel import spatial_batch_sharding
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(4, 3, 32, 32).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, 4)]
+    Xs, ys = np.stack([X, X + 0.01]), np.stack([y, y])
+
+    net_a = _build_spatial_net(35)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    la = [float(tr_a.step(Xs[i], ys[i])[0]) for i in range(2)]
+
+    mesh = make_mesh({"data": 2, "spatial": 4})
+    net_b = _build_spatial_net(35)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=spatial_batch_sharding(mesh))
+    lb, _ = tr_b.multi_step(Xs, ys)
+    np.testing.assert_allclose(np.asarray(lb), la, rtol=1e-4)
+
+
 def test_sharded_inference_runner_matches_unsharded():
     """InferenceRunner(batch_sharding=...) over the 8-device mesh: serving
     probs must equal the single-device runner's exactly (forward-only path —
@@ -396,3 +520,31 @@ def test_sharded_inference_runner_matches_unsharded():
     # unsharded (export_program's single-device contract)
     with pytest.raises(ValueError, match="batch_sharding"):
         r_sharded.export_program((9, 9))
+
+
+def test_spatial_sharded_inference_runner_matches_unsharded():
+    """Serving under pure spatial partitioning: B=2 images whose ROWS split
+    over all 8 devices (the huge-resolution/low-latency serving regime —
+    batch too small to data-shard). Probs must equal the single-device
+    runner's; windowed ops get their halo exchanges from GSPMD."""
+    from dorknet_tpu.network import InferenceRunner
+    from dorknet_tpu.parallel import spatial_batch_sharding
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(2, 3, 32, 32).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, 2)]
+    net = _build_spatial_net(41)
+    tr = Trainer(net, SGDMomentum(net, 0.05, 0.9))
+    tr.step(X, y)  # initialise BN running stats
+
+    r_single = InferenceRunner(net, batch_size=2, fold_bn=True)
+    mesh = make_mesh({"spatial": 8})
+    r_spatial = InferenceRunner(
+        net, batch_size=2, fold_bn=True,
+        batch_sharding=spatial_batch_sharding(mesh, batch_axis=None))
+    p_single = r_single.predict_probs(X)
+    p_spatial = r_spatial.predict_probs(X)
+    np.testing.assert_allclose(p_spatial, p_single, rtol=1e-5, atol=1e-7)
+    # ragged batch still pads to the compiled shape under row shards
+    np.testing.assert_allclose(r_spatial.predict_probs(X[:1]),
+                               p_single[:1], rtol=1e-5, atol=1e-7)
