@@ -85,6 +85,34 @@ def main():
               "tolerance on early steps — see test_parallel for the "
               "strict gates)".format(n_dev // 2, float(loss_f), float(loss)))
 
+    # ---------------------------------------------------------------- #
+    # Spatial partitioning (SP): when the RESOLUTION is what's big (a
+    # batch too small to data-shard), shard the image rows instead —
+    # GSPMD inserts the conv/pool halo exchanges at row-shard boundaries
+    # from the annotation alone. Here: B=2 images, rows split over every
+    # device. Strict single-device equality gates live in
+    # test_parallel::test_spatial_* and dryrun_multichip.
+    # ---------------------------------------------------------------- #
+    from dorknet_tpu.parallel import spatial_batch_sharding
+
+    sp_mesh = make_mesh({"spatial": n_dev})
+    np.random.seed(0)
+    net_sp = ResNet18("sp-demo", num_classes=120)
+    opt_sp = SGDMomentum(net_sp, 0.01, 0.9)
+    tr_sp = Trainer(net_sp, opt_sp,
+                    batch_sharding=spatial_batch_sharding(
+                        sp_mesh, batch_axis=None))
+    X_big = np.random.randn(2, 3, 64 * max(1, n_dev // 2), 64).astype(
+        np.float32)
+    y_big = np.eye(120, dtype=np.float32)[np.random.randint(0, 120, 2)]
+    for i in range(2):
+        loss_sp, _ = tr_sp.step(X_big, y_big)
+    placed_sp = jax.device_put(X_big, tr_sp.batch_sharding)
+    rows = placed_sp.addressable_shards[0].data.shape[2]
+    print("SP: B=2 batch of H={} images row-sharded {} ways ({} rows/"
+          "device), loss {:.4f}".format(X_big.shape[2], n_dev, rows,
+                                        float(loss_sp)))
+
 
 if __name__ == "__main__":
     main()
