@@ -122,7 +122,8 @@ class InferenceRunner:
     # one method serves both runners: QuantizedInferenceRunner subclasses
     # InferenceRunner and keeps the same (_params, _states, X) -> probs _fn
     # contract, so its int8 program exports identically
-    def export_program(self, input_hw, channels=3, path=None, platforms=None):
+    def export_program(self, input_hw, channels=3, path=None, platforms=None,
+                       polymorphic_batch=False):
         """Serialize THE serving program — the same fixed-shape test-mode
         forward ``_run_fixed`` compiles — as a portable ``jax.export``
         artifact (versioned StableHLO with the current params/running stats
@@ -135,7 +136,12 @@ class InferenceRunner:
         input_hw: spatial size the program is specialised to (fixed-shape
         serving contract). platforms: jax.export platform list, default the
         current backend — pass ["tpu"] to cross-compile a TPU artifact from
-        a CPU host. Returns the bytes; also writes ``path`` when given.
+        a CPU host. polymorphic_batch=True exports with a symbolic batch
+        dimension instead of the runner's compiled batch — one artifact
+        serves any batch size (each concrete size still compiles once at
+        the destination). Returns the bytes; also writes ``path`` when
+        given, plus a ``<path>.meta.json`` sidecar (shapes / platforms /
+        outputs — informational for fleet tooling, not needed to load).
 
         Export is single-device by design: a runner built with
         batch_sharding compiles a mesh-placed program that a standalone
@@ -148,8 +154,13 @@ class InferenceRunner:
                 "an unsharded InferenceRunner over the same network to "
                 "export a serving program.")
         self._ensure_current_trace()
-        X = jnp.zeros((self.batch_size, channels) + tuple(input_hw),
-                      jnp.float32)
+        if polymorphic_batch:
+            (batch,) = jax.export.symbolic_shape("b")
+        else:
+            batch = self.batch_size
+        X = jax.ShapeDtypeStruct(
+            (batch, channels) + tuple(int(d) for d in input_hw),
+            jnp.float32)
         params, states = self._params, self._states
         fn = self._fn
 
@@ -160,6 +171,25 @@ class InferenceRunner:
         if path is not None:
             with open(path, "wb") as f:
                 f.write(blob)
+            meta = {
+                "format": "jax.export/stablehlo",
+                "input_shape": [None if polymorphic_batch
+                                else int(self.batch_size),
+                                int(channels)] + [int(d) for d in input_hw],
+                "input_dtype": "float32",
+                "output_avals": [
+                    {"shape": [None if jax.export.is_symbolic_dim(d)
+                               else int(d) for d in a.shape],
+                     "dtype": str(a.dtype)}
+                    for a in exported.out_avals],
+                "platforms": list(exported.platforms),
+                "polymorphic_batch": bool(polymorphic_batch),
+                "runner": type(self).__name__,
+            }
+            import json
+
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f, indent=2)
         return blob
 
 
@@ -174,5 +204,60 @@ def load_serving_program(path_or_bytes):
             blob = f.read()
     exported = jax.export.deserialize(bytearray(blob))
     return jax.jit(exported.call)
+
+
+class ServingArtifact:
+    """A reloaded ``export_program`` artifact with the live runners' host
+    conveniences: arbitrary-N ``predict_probs`` (padding + chunking to the
+    compiled batch, the same protocol as ``InferenceRunner.predict_probs``
+    and the reference eval loop it mirrors — reference
+    network/feed_forward_network.py:72-88) and shape introspection. No
+    framework state — just the compiled calling convention."""
+
+    def __init__(self, exported):
+        self._exported = exported
+        aval = exported.in_avals[0]
+        b = aval.shape[0]
+        self.polymorphic_batch = bool(jax.export.is_symbolic_dim(b))
+        self.batch_size = None if self.polymorphic_batch else int(b)
+        self.input_shape = tuple(int(d) for d in aval.shape[1:])
+        self.platforms = tuple(exported.platforms)
+
+    def __call__(self, x):
+        """Raw dispatch of one device batch (shape must match the artifact's
+        calling convention; polymorphic artifacts accept any batch)."""
+        return self._exported.call(x)
+
+    def predict_probs(self, X):
+        """X: (N, C, H, W), any N — returns (N, num_classes) numpy scores."""
+        X = np.asarray(X, dtype=np.float32)
+        if self.polymorphic_batch:
+            return np.asarray(self._exported.call(X))
+        B = self.batch_size
+        outs = []
+        for i in range(0, X.shape[0], B):
+            chunk = X[i:i + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            probs = np.asarray(self._exported.call(chunk))
+            outs.append(probs[:-pad] if pad else probs)
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, X):
+        """Top-1 class ids, (N,) int."""
+        return self.predict_probs(X).argmax(axis=1)
+
+
+def load_serving_artifact(path_or_bytes):
+    """Load an ``export_program`` artifact as a :class:`ServingArtifact`
+    (use ``load_serving_program`` instead for the bare fixed-shape
+    callable)."""
+    blob = path_or_bytes
+    if not isinstance(blob, (bytes, bytearray)):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    return ServingArtifact(jax.export.deserialize(bytearray(blob)))
 
 

@@ -137,6 +137,18 @@ def main(steps=60):
                   len(blob) // 1024,
                   (exported.argmax(1) == rf.predict(X_eval)).mean()))
 
+    # 8. polymorphic-batch artifact + the full-service wrapper: one file
+    #    serves EVERY batch size, predict_probs pads/chunks like the runner
+    from dorknet_tpu.network import load_serving_artifact
+
+    art = load_serving_artifact(
+        rf.export_program(X_eval.shape[2:], polymorphic_batch=True))
+    sizes = [1, 7, 64]
+    agree = [(art.predict(X_eval[:n]) == rf.predict(X_eval[:n])).mean()
+             for n in sizes]
+    print("polymorphic artifact: batches {} -> top-1 agreement {}".format(
+        sizes, [round(float(a), 3) for a in agree]))
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,139 @@
+"""Serving-artifact export extensions (network/inference.py).
+
+test_serving.py pins the base export_program -> load_serving_program
+round-trip; this file pins the round-3 extensions: the ServingArtifact
+wrapper (arbitrary-N predict_probs with the runner's padding/chunking
+protocol), polymorphic-batch artifacts, the .meta.json sidecar, policy
+freezing, and the checkpoint->artifact CLI (scripts/export_serving). The
+reference's deployment unit is "h5 + json + the model code" (reference
+network/feed_forward_network.py:106-139); these artifacts need no framework
+code at the destination.
+"""
+
+import numpy as np
+
+import dorknet_tpu
+from dorknet_tpu.models import MNISTNet
+from dorknet_tpu.network import Trainer
+from dorknet_tpu.network.inference import (InferenceRunner, ServingArtifact,
+                                           load_serving_artifact)
+from dorknet_tpu.network.quantized import QuantizedInferenceRunner
+from dorknet_tpu.optimisers import SGDMomentum
+
+
+def _serving_net(seed=0, steps=3):
+    np.random.seed(seed)
+    X = np.random.randn(16, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 16)]
+    net = MNISTNet("export-net")
+    tr = Trainer(net, SGDMomentum(net, 0.01, 0.9))
+    for _ in range(steps):
+        tr.step(X, y)
+    return net, X
+
+
+def test_artifact_roundtrip_matches_runner(tmp_path):
+    net, X = _serving_net()
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    path = str(tmp_path / "mnist.shlo")
+    data = runner.export_program((28, 28), channels=1, path=path)
+    assert len(data) > 0
+
+    art = load_serving_artifact(path)
+    assert isinstance(art, ServingArtifact)
+    assert art.batch_size == 8 and art.input_shape == (1, 28, 28)
+    assert not art.polymorphic_batch
+
+    # Same program + same baked-in constants: bit-identical to the runner.
+    np.testing.assert_array_equal(runner.predict_probs(X),
+                                  art.predict_probs(X))
+    # bytes loading path too
+    np.testing.assert_array_equal(art.predict_probs(X),
+                                  load_serving_artifact(data).predict_probs(X))
+
+
+def test_export_meta_sidecar(tmp_path):
+    import json
+
+    net, _ = _serving_net()
+    runner = InferenceRunner(net, batch_size=4)
+    path = str(tmp_path / "m.shlo")
+    runner.export_program((28, 28), channels=1, path=path)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["input_shape"] == [4, 1, 28, 28]
+    assert meta["input_dtype"] == "float32"
+    assert meta["runner"] == "InferenceRunner"
+    assert meta["output_avals"][0]["shape"] == [4, 10]
+    assert meta["polymorphic_batch"] is False
+
+
+def test_artifact_ragged_padding_matches_runner_protocol():
+    """predict_probs on N not divisible by the compiled batch must chunk+pad
+    exactly like the live runner (reference-eval protocol, SURVEY §3.2)."""
+    net, X = _serving_net(seed=1)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    art = load_serving_artifact(runner.export_program((28, 28), channels=1))
+    Xr = X[:13]  # 8 + ragged 5
+    np.testing.assert_array_equal(runner.predict_probs(Xr),
+                                  art.predict_probs(Xr))
+    assert art.predict(Xr).shape == (13,)
+
+
+def test_export_polymorphic_batch():
+    net, X = _serving_net(seed=2)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    art = load_serving_artifact(
+        runner.export_program((28, 28), channels=1, polymorphic_batch=True))
+    assert art.polymorphic_batch and art.batch_size is None
+    # any batch size, one artifact; matches the live runner's scores
+    for n in (3, 8, 11):
+        p = art.predict_probs(X[:n])
+        assert p.shape == (n, 10)
+        np.testing.assert_allclose(p, runner.predict_probs(X[:n]),
+                                   rtol=0, atol=1e-6)
+
+
+def test_export_quantized_runner_artifact():
+    net, X = _serving_net(seed=3)
+    q = QuantizedInferenceRunner(net, batch_size=8)
+    q.calibrate([X])
+    art = load_serving_artifact(q.export_program((28, 28), channels=1))
+    np.testing.assert_array_equal(q.predict_probs(X), art.predict_probs(X))
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    """scripts/export_serving: reference checkpoint (json+h5,
+    SURVEY §3.4 schema) in, self-contained artifact out."""
+    from scripts.export_serving import main as export_main
+
+    net, X = _serving_net(seed=5)
+    jpath, hpath = str(tmp_path / "net.json"), str(tmp_path / "net.h5")
+    net.save_layer_structure_to_json(jpath)
+    net.save_weights_to_h5(hpath)
+
+    out = str(tmp_path / "net.shlo")
+    export_main(["--json", jpath, "--h5", hpath, "--out", out,
+                 "--input", "1,28,28", "--batch", "8"])
+
+    art = load_serving_artifact(out)
+    ref = InferenceRunner(net, batch_size=8, fold_bn=True)
+    np.testing.assert_allclose(art.predict_probs(X), ref.predict_probs(X),
+                               rtol=0, atol=1e-6)
+
+
+def test_export_respects_compute_dtype_policy():
+    """The artifact freezes the policy ACTIVE at export time — flipping the
+    global dtype afterwards must not change what a loaded artifact serves."""
+    import jax.numpy as jnp
+
+    net, X = _serving_net(seed=4)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    dorknet_tpu.set_compute_dtype(jnp.bfloat16)
+    try:
+        p_bf16 = runner.predict_probs(X)  # retraces under bf16 policy
+        data = runner.export_program((28, 28), channels=1)
+    finally:
+        dorknet_tpu.set_compute_dtype(jnp.float32)
+    art = load_serving_artifact(data)
+    np.testing.assert_array_equal(p_bf16, art.predict_probs(X))
