@@ -75,6 +75,13 @@ class InferenceRunner:
         X = np.asarray(X, dtype=np.float32)
         N = X.shape[0]
         B = self.batch_size
+        if N == 0:
+            # np.concatenate([]) raises; dispatch one all-zero batch through
+            # the compiled program (compiling it is work a later call needs
+            # anyway) and slice to the empty result with the right width
+            probs = np.asarray(self._run_fixed(
+                jnp.zeros((B,) + X.shape[1:], jnp.float32)))
+            return probs[:0]
         outs = []
         for i in range(0, N, B):
             chunk, pad = self._pad_to_batch(X[i:i + B])
@@ -212,27 +219,47 @@ class ServingArtifact:
     compiled batch, the same protocol as ``InferenceRunner.predict_probs``
     and the reference eval loop it mirrors — reference
     network/feed_forward_network.py:72-88) and shape introspection. No
-    framework state — just the compiled calling convention."""
+    framework state — just the compiled calling convention.
 
-    def __init__(self, exported):
+    Polymorphic artifacts chunk ``predict_probs`` inputs to ``max_batch``
+    device rows per dispatch (no padding needed — the batch dim is symbolic):
+    one eval-sized input must neither OOM the device as a single giant batch
+    nor compile a fresh program per distinct N. Each chunk size still
+    compiles once at the destination; a steady serving load sees at most two
+    sizes (max_batch + one remainder)."""
+
+    def __init__(self, exported, max_batch=256):
         self._exported = exported
+        # jit the reloaded callable once: un-jitted exported.call rebuilds
+        # its wrapper per dispatch (~10x per-call host overhead vs the jit
+        # cache load_serving_program uses)
+        self._call = jax.jit(exported.call)
         aval = exported.in_avals[0]
         b = aval.shape[0]
         self.polymorphic_batch = bool(jax.export.is_symbolic_dim(b))
         self.batch_size = None if self.polymorphic_batch else int(b)
+        self.max_batch = int(max_batch)
         self.input_shape = tuple(int(d) for d in aval.shape[1:])
         self.platforms = tuple(exported.platforms)
+        out = exported.out_avals[0]
+        self.num_classes = int(out.shape[-1])
+        self._out_dtype = out.dtype
 
     def __call__(self, x):
         """Raw dispatch of one device batch (shape must match the artifact's
         calling convention; polymorphic artifacts accept any batch)."""
-        return self._exported.call(x)
+        return self._call(x)
 
     def predict_probs(self, X):
         """X: (N, C, H, W), any N — returns (N, num_classes) numpy scores."""
         X = np.asarray(X, dtype=np.float32)
+        if X.shape[0] == 0:
+            return np.zeros((0, self.num_classes), self._out_dtype)
         if self.polymorphic_batch:
-            return np.asarray(self._exported.call(X))
+            B = self.max_batch
+            return np.concatenate(
+                [np.asarray(self._call(X[i:i + B]))
+                 for i in range(0, X.shape[0], B)], axis=0)
         B = self.batch_size
         outs = []
         for i in range(0, X.shape[0], B):
@@ -241,7 +268,7 @@ class ServingArtifact:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            probs = np.asarray(self._exported.call(chunk))
+            probs = np.asarray(self._call(chunk))
             outs.append(probs[:-pad] if pad else probs)
         return np.concatenate(outs, axis=0)
 
@@ -250,14 +277,16 @@ class ServingArtifact:
         return self.predict_probs(X).argmax(axis=1)
 
 
-def load_serving_artifact(path_or_bytes):
+def load_serving_artifact(path_or_bytes, max_batch=256):
     """Load an ``export_program`` artifact as a :class:`ServingArtifact`
     (use ``load_serving_program`` instead for the bare fixed-shape
-    callable)."""
+    callable). ``max_batch`` caps per-dispatch rows for polymorphic
+    artifacts' ``predict_probs``."""
     blob = path_or_bytes
     if not isinstance(blob, (bytes, bytearray)):
         with open(blob, "rb") as f:
             blob = f.read()
-    return ServingArtifact(jax.export.deserialize(bytearray(blob)))
+    return ServingArtifact(jax.export.deserialize(bytearray(blob)),
+                           max_batch=max_batch)
 
 

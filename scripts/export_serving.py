@@ -32,7 +32,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--int8", action="store_true",
                     help="export the int8-quantised runner (dynamic "
-                         "activation scales unless you calibrate first)")
+                         "activation scales unless --scales is given)")
+    ap.add_argument("--scales", default=None,
+                    help="with --int8: calibrated activation scales — a "
+                         "JSON list (inline, or a path to a .json file) as "
+                         "recorded by QuantizedInferenceRunner.get_scales(); "
+                         "baked via set_scales() so the artifact reproduces "
+                         "a calibrated server exactly")
     ap.add_argument("--no-fold-bn", action="store_true",
                     help="serve unfolded BN (default folds conv→BN pairs)")
     ap.add_argument("--bf16", action="store_true",
@@ -58,6 +64,18 @@ def main(argv=None):
         dorknet_tpu.set_compute_dtype(jnp.bfloat16)
     cls = QuantizedInferenceRunner if args.int8 else InferenceRunner
     runner = cls(net, batch_size=args.batch, fold_bn=not args.no_fold_bn)
+    if args.scales is not None:
+        if not args.int8:
+            ap.error("--scales only applies with --int8")
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(args.scales):
+            with open(args.scales) as f:
+                scales = _json.load(f)
+        else:
+            scales = _json.loads(args.scales)
+        runner.set_scales(scales)
 
     C, H, W = (int(d) for d in args.input.split(","))
     platforms = args.platforms.split(",") if args.platforms else None

@@ -94,6 +94,43 @@ def test_export_polymorphic_batch():
                                    rtol=0, atol=1e-6)
 
 
+def test_polymorphic_artifact_chunks_to_max_batch():
+    """A polymorphic artifact must NOT dispatch an eval-sized input as one
+    giant device batch (OOM + compile-per-N); it chunks at max_batch, each
+    chunk going through the jitted call."""
+    net, X = _serving_net(seed=6)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    art = load_serving_artifact(
+        runner.export_program((28, 28), channels=1, polymorphic_batch=True),
+        max_batch=4)
+    assert art.max_batch == 4
+    seen = []
+    inner = art._call
+    art._call = lambda x: (seen.append(x.shape[0]), inner(x))[1]
+    p = art.predict_probs(X[:11])
+    assert seen == [4, 4, 3]  # no padding needed on the symbolic dim
+    np.testing.assert_allclose(p, runner.predict_probs(X[:11]),
+                               rtol=0, atol=1e-6)
+
+
+def test_predict_probs_empty_input():
+    """N=0 must return (0, num_classes) on every serving path instead of
+    tripping np.concatenate([]) / the symbolic b>=1 constraint."""
+    net, X = _serving_net(seed=7)
+    runner = InferenceRunner(net, batch_size=8, fold_bn=True)
+    empty = X[:0]
+    assert runner.predict_probs(empty).shape == (0, 10)
+    assert runner.predict(empty).shape == (0,)
+    fixed = load_serving_artifact(
+        runner.export_program((28, 28), channels=1))
+    poly = load_serving_artifact(
+        runner.export_program((28, 28), channels=1, polymorphic_batch=True))
+    for art in (fixed, poly):
+        p = art.predict_probs(empty)
+        assert p.shape == (0, 10)
+        assert art.predict(empty).shape == (0,)
+
+
 def test_export_quantized_runner_artifact():
     net, X = _serving_net(seed=3)
     q = QuantizedInferenceRunner(net, batch_size=8)
@@ -120,6 +157,42 @@ def test_export_cli_from_checkpoint(tmp_path):
     ref = InferenceRunner(net, batch_size=8, fold_bn=True)
     np.testing.assert_allclose(art.predict_probs(X), ref.predict_probs(X),
                                rtol=0, atol=1e-6)
+
+
+def test_export_cli_int8_with_calibrated_scales(tmp_path):
+    """--int8 --scales bakes calibrated activation scales into the artifact
+    (the design invariant: fp32 ckpt + get_scales() floats reproduce a
+    calibrated server exactly)."""
+    import json
+
+    from scripts.export_serving import main as export_main
+
+    net, X = _serving_net(seed=8)
+    q = QuantizedInferenceRunner(net, batch_size=8)
+    q.calibrate([X])
+    scales = q.get_scales()
+
+    jpath, hpath = str(tmp_path / "net.json"), str(tmp_path / "net.h5")
+    net.save_layer_structure_to_json(jpath)
+    net.save_weights_to_h5(hpath)
+    spath = str(tmp_path / "scales.json")
+    with open(spath, "w") as f:
+        json.dump(scales, f)
+
+    out = str(tmp_path / "net_int8.shlo")
+    export_main(["--json", jpath, "--h5", hpath, "--out", out,
+                 "--input", "1,28,28", "--batch", "8", "--int8",
+                 "--scales", spath])
+    art = load_serving_artifact(out)
+    np.testing.assert_array_equal(q.predict_probs(X), art.predict_probs(X))
+
+    # inline-JSON spelling of the same flag
+    out2 = str(tmp_path / "net_int8_inline.shlo")
+    export_main(["--json", jpath, "--h5", hpath, "--out", out2,
+                 "--input", "1,28,28", "--batch", "8", "--int8",
+                 "--scales", json.dumps(scales)])
+    np.testing.assert_array_equal(
+        q.predict_probs(X), load_serving_artifact(out2).predict_probs(X))
 
 
 def test_export_respects_compute_dtype_policy():
