@@ -411,7 +411,14 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
     incl. mixup) ->
     fused bf16 train step. Reports TRAINED images/sec (device mixup doubles
     the batch: one 256-image loader batch trains 512 images) plus the
-    host decode rate, which on a 1-core bench host is the expected ceiling."""
+    host decode rate, which on a 1-core bench host is the JPEG path's
+    expected ceiling.
+
+    Also runs the PACKED pre-decoded path (scripts/pack_dataset.py ->
+    mmap row gathers, zero decode on the training path) through the same
+    fused step, and a same-window train-only loop (device-resident batch,
+    no loader) — the gap between packed and train-only is the residual
+    host cost of the input pipeline once decode is off the critical path."""
     import os
     import shutil
     import tempfile
@@ -422,6 +429,7 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
     from dorknet_tpu.data_loading import (ImageDataLoader, ImagePreprocessor,
                                           device_prefetch)
     from dorknet_tpu.data_loading.device_augment import train_pipeline
+    from dorknet_tpu.data_loading.packed_dataset import write_packed_dataset
     from dorknet_tpu.models import ResNet18
     from dorknet_tpu.optimisers import SGDMomentum
     from dorknet_tpu.network import Trainer
@@ -436,12 +444,18 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
             for i in range(40):
                 im = rng.randint(0, 255, (300, 300, 3), dtype=np.uint8)
                 cv2.imwrite(os.path.join(d, f"{i}.jpg"), im)
+        packed_root = root + "_packed"
+        write_packed_dataset(root, packed_root, (precrop, precrop),
+                             num_workers=max(1, os.cpu_count() or 1),
+                             use_native_loader=True)
 
         pp = ImagePreprocessor((image, image), crop_mode="random",
                                precrop_size=(precrop, precrop))
         loader = ImageDataLoader(root, batch_size=batch_size, preprocessor=pp,
                                  class_balance=False, num_workers=1,
                                  use_native_loader=True, emit_hwc_uint8=True)
+        packed_loader = None
+        last_batch = [None]
         dorknet_tpu.set_compute_dtype(jnp.bfloat16)
         try:
             np.random.seed(0)
@@ -460,13 +474,14 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
                     loss, _ = trainer.step(Xb, ohb)
                 return float(loss)  # hard sync
 
-            def run_fused(n):
+            def run_fused(n, src):
                 # aug+mixup+train in ONE dispatch (Trainer.step_augmented) —
                 # halves the per-step host round-trips vs run()
                 nonlocal key
                 loss = None
-                for X_u8, _, oh in device_prefetch(loader.pull_batch(n), size=2):
+                for X_u8, _, oh in device_prefetch(src.pull_batch(n), size=2):
                     key, k = jax.random.split(key)
+                    last_batch[0] = (X_u8, oh)
                     loss, _ = trainer.step_augmented(
                         k, X_u8, oh, (image, image), **AUG_ARGS)
                 return float(loss)  # hard sync
@@ -475,24 +490,58 @@ def bench_e2e_train(steps=12, batch_size=256, image=225, classes=3):
             t0 = time.perf_counter()
             run(steps)
             dt = (time.perf_counter() - t0) / steps
-            run_fused(1)  # compile the fused program
+            run_fused(1, loader)  # compile the fused program
             t0 = time.perf_counter()
-            run_fused(steps)
+            run_fused(steps, loader)
             dt_fused = (time.perf_counter() - t0) / steps
+            loader.stop_thread()
+
+            # packed path: same fused program (same shapes — no recompile),
+            # decode replaced by mmap row gathers
+            packed_loader = ImageDataLoader(
+                packed_root, batch_size=batch_size, preprocessor=pp,
+                class_balance=False, num_workers=1, emit_hwc_uint8=True)
+            run_fused(2, packed_loader)  # warm the queue/page cache
+            t0 = time.perf_counter()
+            run_fused(steps, packed_loader)
+            dt_packed = (time.perf_counter() - t0) / steps
+
+            # train-only (no loader): the same-window wall ceiling the
+            # packed path is judged against
+            X_dev, oh_dev = last_batch[0]
+            float(trainer.step_augmented(key, X_dev, oh_dev, (image, image),
+                                         **AUG_ARGS)[0])
+            t0 = time.perf_counter()
+            loss = None
+            for i in range(steps):
+                key, k = jax.random.split(key)
+                loss, _ = trainer.step_augmented(k, X_dev, oh_dev,
+                                                 (image, image), **AUG_ARGS)
+            float(loss)
+            dt_only = (time.perf_counter() - t0) / steps
         finally:
             dorknet_tpu.set_compute_dtype(jnp.float32)
             loader.stop_thread()
+            if packed_loader is not None:
+                packed_loader.stop_thread()
 
         trained_ips = 2 * batch_size / dt  # mixup: 2x trained images per batch
         fused_ips = 2 * batch_size / dt_fused
+        packed_ips = 2 * batch_size / dt_packed
+        trainonly_ips = 2 * batch_size / dt_only
         decode_ips = batch_size / dt
         log(f"e2e loader->prefetch->aug->train: {dt * 1e3:.1f} ms/step, "
             f"{trained_ips:.0f} trained img/s ({decode_ips:.0f} decoded img/s "
             f"on {os.cpu_count()} host core(s)); fused aug+train dispatch: "
             f"{dt_fused * 1e3:.1f} ms/step, {fused_ips:.0f} trained img/s")
-        return trained_ips, fused_ips
+        log(f"e2e PACKED (pre-decoded, fused): {dt_packed * 1e3:.1f} ms/step, "
+            f"{packed_ips:.0f} trained img/s; train-only same-window wall: "
+            f"{dt_only * 1e3:.1f} ms/step, {trainonly_ips:.0f} img/s "
+            f"(packed reaches {packed_ips / trainonly_ips:.0%} of train-only)")
+        return trained_ips, fused_ips, packed_ips, trainonly_ips
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_packed", ignore_errors=True)
 
 
 def bench_interleaved_fp32_bf16(batch_size=256, rounds=3, image=225, classes=120,
@@ -1190,9 +1239,11 @@ def main():
         log("skipping aug-vs-train config (time budget)")
     if time_left() > 120:
         try:
-            e2e_ips, e2e_fused_ips = bench_e2e_train()
+            e2e_ips, e2e_fused_ips, e2e_packed, e2e_only = bench_e2e_train()
             results["e2e_train_ips"] = round(e2e_ips, 1)
             results["e2e_train_fused_ips"] = round(e2e_fused_ips, 1)
+            results["e2e_train_packed_ips"] = round(e2e_packed, 1)
+            results["e2e_trainonly_wall_ips"] = round(e2e_only, 1)
         except Exception as e:
             log(f"e2e bench failed: {e}")
     else:

@@ -144,8 +144,39 @@ class ImageDataLoader:
                 "classes_from_dir_structure=False is not supported: the "
                 "loader's sampling state comes from the <class>/images/* "
                 "directory layout (the reference silently hangs here)")
-        self.class_name_num_map, per_class_paths, self.samples = (
-            discover_dataset(base_folder))
+        # Packed pre-decoded mode (data_loading/packed_dataset.py): when
+        # base_folder is a packed directory, per-image JPEG decode is replaced
+        # by mmap row gathers; sampling still walks the ORIGINAL source paths
+        # (recorded in the pack), so shuffle / class balance / mixup /
+        # data_shard draw the same sequence as a live-JPEG loader would.
+        from dorknet_tpu.data_loading.packed_dataset import (
+            PackedDataset, is_packed_dir)
+
+        self.packed = None
+        self._packed_row = None
+        if is_packed_dir(base_folder):
+            self.packed = PackedDataset(base_folder)
+            self._packed_row = {p: i for i, p in enumerate(self.packed.paths)}
+            self.class_name_num_map = {
+                name: label for label, name in
+                enumerate(self.packed.class_names)}
+            per_class_paths = {
+                name: [self.packed.paths[r] for r in rows]
+                for name, rows in self.packed.per_class_rows.items()}
+            self.samples = [(name, path) for name in self.packed.class_names
+                            for path in per_class_paths[name]]
+            self.use_native_loader = False  # nothing left to decode
+            pp = self.preprocessor
+            want = (pp.precrop_size[1], pp.precrop_size[0])  # (rows, cols)
+            if tuple(self.packed.precrop) != want:
+                raise ValueError(
+                    "packed dataset {} holds {}-pixel canvases but the "
+                    "preprocessor wants precrop {} — repack with "
+                    "scripts/pack_dataset.py".format(
+                        base_folder, self.packed.precrop, want))
+        else:
+            self.class_name_num_map, per_class_paths, self.samples = (
+                discover_dataset(base_folder))
         self.class_names = list(self.class_name_num_map)
         if data_shard is not None:
             shard_idx, shard_count = data_shard
@@ -257,6 +288,22 @@ class ImageDataLoader:
         return X_batch_list, y_batch_list
 
     def _decode_batch(self, pool, X_batch_list):
+        if self.packed is not None:
+            canvases = self.packed.gather(
+                [self._packed_row[p] for p in X_batch_list])
+            if self.emit_hwc_uint8:
+                return canvases
+            from dorknet_tpu.data_loading.image_preprocessor import (
+                preprocess_canvas)
+
+            pp = self.preprocessor
+
+            def prep(im):
+                return preprocess_canvas(
+                    im, pp.image_size, pp.crop_mode, pp.image_augmenter,
+                    pp.apply_augmenter)
+
+            return np.stack(pool.map(prep, canvases), axis=0)
         if self.emit_hwc_uint8:
             pp = self.preprocessor
             precrop = (pp.precrop_size[1], pp.precrop_size[0])

@@ -65,6 +65,27 @@ def preprocess(im, image_size, crop_mode=None, precrop_size=None,
     return to_network_layout(im)
 
 
+def preprocess_canvas(im, image_size, crop_mode=None, augmenter=None,
+                      apply_augmenter=True):
+    """``preprocess`` for an image that is ALREADY a precrop-resized canvas
+    (the packed-dataset row format, data_loading/packed_dataset.py): the
+    resize-to-precrop step is skipped, so crop-mode batches are bit-identical
+    to the live-JPEG cv2 path's. With no crop mode the canvas is resized
+    straight to ``image_size`` — a two-stage resize (source→precrop at pack
+    time, precrop→image_size here), deliberately not bit-identical to the
+    JPEG path's single source→image_size resize."""
+    if crop_mode in ("random", "center"):
+        r, c = crop_origin(im.shape, image_size, crop_mode)
+        im = im[r:r + image_size[0], c:c + image_size[1], :]
+    else:
+        im = cv2.resize(np.ascontiguousarray(im), image_size)
+    if augmenter is not None:
+        augmented = augmenter.augment(np.ascontiguousarray(im))
+        if apply_augmenter:
+            im = augmented
+    return to_network_layout(im)
+
+
 class ImagePreprocessor:
     """Configured preprocessing pipeline; the attributes are public — the
     data loader reads ``precrop_size``/``image_size``/``crop_mode`` to drive
