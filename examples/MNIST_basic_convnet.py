@@ -8,7 +8,17 @@ numerically identical, two dispatches per step instead of one).
 
 Requires MNIST .npy files under MNIST_data/ (scripts/MNISTprepper.py builds
 them from the idx-ubyte downloads; see scripts/download_MNIST.sh).
+
+Env knobs (defaults = the reference recipe; CI shrinks them to run this
+actual ``__main__`` body, tests/test_examples_integration.py):
+    DORKNET_MNIST_DIR    data directory (default MNIST_data)
+    DORKNET_EPOCHS       epochs (default 14)
+    DORKNET_BATCH        batch size (default 200)
+    DORKNET_NUM_TRAIN / DORKNET_NUM_VAL / DORKNET_NUM_TEST  split sizes
+    DORKNET_METRICS      JSONL accuracy-trajectory sidecar path ('' = off)
 """
+
+import os
 
 from tqdm import tqdm
 
@@ -18,29 +28,42 @@ from dorknet_tpu.optimisers import SGDMomentum
 from dorknet_tpu.data_loading import get_MNIST_data, epoch_image_generator
 from dorknet_tpu.data_loading.prefetch import device_prefetch
 
-BATCH_SIZE = 200
+MNIST_DIR = os.environ.get("DORKNET_MNIST_DIR", "MNIST_data")
+BATCH_SIZE = int(os.environ.get("DORKNET_BATCH", "200"))
+EPOCHS = int(os.environ.get("DORKNET_EPOCHS", "14"))
+NUM_TRAIN = int(os.environ.get("DORKNET_NUM_TRAIN", "50000"))
+NUM_VAL = int(os.environ.get("DORKNET_NUM_VAL", "10000"))
+NUM_TEST = int(os.environ.get("DORKNET_NUM_TEST", "10000"))
+METRICS = os.environ.get("DORKNET_METRICS", "")
 USE_FUSED_STEP = True
 
 
 def main():
-    import os
-    if not os.path.isdir("MNIST_data"):
-        raise SystemExit("MNIST_data/ not found — run scripts/download_MNIST.sh "
-                         "(or scripts/MNISTprepper.py on existing idx files).")
+    if not os.path.isdir(MNIST_DIR):
+        raise SystemExit("{}/ not found — run scripts/download_MNIST.sh "
+                         "(or scripts/MNISTprepper.py on existing idx "
+                         "files).".format(MNIST_DIR))
     X_train, y_train, X_val, y_val, X_test, y_test = get_MNIST_data(
-        num_training=50000, num_validation=10000, num_test=10000)
+        num_training=NUM_TRAIN, num_validation=NUM_VAL, num_test=NUM_TEST,
+        mnist_dir=MNIST_DIR)
     network = MNISTNet("MNISTDemo")
     sgd = SGDMomentum(network, 0.01, 0.9)
     trainer = Trainer(network, sgd)
     print(network)
+    metrics = None
+    if METRICS:
+        from dorknet_tpu.utils.metrics import MetricsLogger
+        metrics = MetricsLogger(METRICS)
 
-    for e in range(1, 15, 1):
+    for e in range(1, EPOCHS + 1, 1):
         print("Epoch {}:".format(e))
         if e % 5 == 0:
             sgd.multiply_learning_rate(0.1)
         batches = device_prefetch(
             epoch_image_generator(X_train, y_train, BATCH_SIZE, num_classes=10))
-        for X_batch, y_batch, y_one_hot in tqdm(batches, total=50000 / BATCH_SIZE):
+        loss = None
+        for X_batch, y_batch, y_one_hot in tqdm(
+                batches, total=len(X_train) / BATCH_SIZE):
             if USE_FUSED_STEP:
                 loss, _ = trainer.step(X_batch, y_one_hot)
             else:
@@ -50,8 +73,11 @@ def main():
         print("Testing...")
         test_acc = network.test(
             epoch_image_generator(X_test, y_test, BATCH_SIZE, num_classes=10),
-            BATCH_SIZE, 10000)
+            BATCH_SIZE, len(X_test))
         print("Test acc: {}".format(test_acc))
+        if metrics is not None:
+            metrics.log(epoch=e, loss=float(loss), test_acc=float(test_acc),
+                        lr=float(sgd.learning_rate))
 
 
 if __name__ == "__main__":
