@@ -1029,6 +1029,53 @@ def _probe_device(timeout_s):
         return False, time.perf_counter() - t0
 
 
+# v5e chip peaks used for the MFU / roofline-fraction keys (same constants
+# as utils.model_summary.roofline defaults; PERF.md round-4 roofline session
+# validates both: isolated convs hit 96% of the FLOP peak, fused BN passes
+# ~90% of the bandwidth peak).
+_PEAK_BF16_TFLOPS = 197.0
+
+
+def _roofline_stats(timeout_s=240):
+    """Analytic roofline constants for the bench models, from a CPU child.
+
+    Runs utils.model_summary.roofline (pure shape arithmetic — but building
+    a network allocates param arrays, which in-process would go through the
+    TPU tunnel) in a JAX_PLATFORMS=cpu subprocess. Returns
+    {model: {train_flops, sol_ms_xla, sol_ms_perfect}} for the flagship
+    (ResNet-18-depsep b128@225, the headline config) and ResNet-50
+    b128@224 (the stretch zoo's compute-heavy end), or None on failure.
+    Deterministic given the model code, so a timeout only loses the
+    mfu_*/roofline_frac_* keys, never a measurement."""
+    import subprocess
+    code = (
+        "import json, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from dorknet_tpu.models import ResNet18, ResNet50\n"
+        "from dorknet_tpu.utils.model_summary import roofline\n"
+        "out = {}\n"
+        "for name, net, shape in (\n"
+        "    ('flagship', ResNet18('rf', num_classes=120), (128,3,225,225)),\n"
+        "    ('resnet50', ResNet50('r50', num_classes=1000), (128,3,224,224)),\n"
+        "):\n"
+        "    rx = roofline(net, shape, print_table=False)\n"
+        "    rp = roofline(net, shape, schedule='perfect', print_table=False)\n"
+        "    out[name] = {'train_flops': rx['train_flops'],\n"
+        "                 'sol_ms_xla': rx['sol_ms'],\n"
+        "                 'sol_ms_perfect': rp['sol_ms']}\n"
+        "print('ROOFLINE ' + json.dumps(out))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           check=True, capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("ROOFLINE "):
+                return json.loads(line[len("ROOFLINE "):])
+    except Exception as e:
+        log(f"roofline stats subprocess failed: {e}")
+    return None
+
+
 def main():
     import os
     import threading
@@ -1350,6 +1397,30 @@ def main():
             consider(dev_ips, "device")
         except Exception as e:
             log(f"primary retry failed: {e}")
+
+    # MFU + roofline-fraction keys (VERDICT r3 items 2 and 6): analytic
+    # speed-of-light from utils.model_summary.roofline against the device
+    # numbers measured above. CPU subprocess — immune to tunnel health.
+    if time_left() > 20:
+        rl = _roofline_stats(timeout_s=min(240.0, max(time_left() - 5, 30)))
+        if rl:
+            for name, ips_key in (
+                    ("flagship", "train_ips_b128_bf16_device"),
+                    ("resnet50", "train_ips_resnet50_b128_bf16_device")):
+                ips = results.get(ips_key)
+                if not ips:
+                    continue
+                st = rl[name]
+                dev_ms = 128.0 / ips * 1e3
+                mfu = st["train_flops"] / (dev_ms / 1e3) / (
+                    _PEAK_BF16_TFLOPS * 1e12)
+                results[f"mfu_{name}"] = round(mfu, 3)
+                results[f"roofline_frac_{name}_xla"] = round(
+                    st["sol_ms_xla"] / dev_ms, 3)
+                results[f"roofline_frac_{name}_perfect"] = round(
+                    st["sol_ms_perfect"] / dev_ms, 3)
+    else:
+        log("skipping roofline stats (time budget)")
 
     done.set()
     log("all results:", results)

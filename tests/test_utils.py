@@ -142,6 +142,61 @@ def test_model_summary_resnet18():
     assert any(r[0].startswith("  ") for r in res["rows"])
 
 
+def test_roofline_resnet50_calibration():
+    """Pin the analytic training-step roofline to its on-chip calibration.
+
+    The "xla" schedule was calibrated against the Perfetto device trace of
+    the ResNet-50 b128 bf16 step on the v5e (PERF.md round-4 roofline
+    session): 44.10 ms measured vs ~44 ms modelled. This test pins the
+    MODEL (shape arithmetic + traffic rules), not the chip: if a layer-walk
+    or rule change moves the prediction >5% the calibration claim in
+    PERF.md and the bench mfu_*/roofline_frac_* keys are stale."""
+    from dorknet_tpu.models import ResNet50
+    from dorknet_tpu.utils.model_summary import roofline, summarize
+
+    np.random.seed(0)
+    net = ResNet50("r50", num_classes=1000)
+    r = roofline(net, (128, 3, 224, 224), print_table=False)
+    # calibrated prediction for the measured 44.10 ms step
+    assert 42.0 < r["sol_ms"] < 46.0, r["sol_ms"]
+    rp = roofline(net, (128, 3, 224, 224), schedule="perfect",
+                  print_table=False)
+    # perfect-fusion SoL is strictly tighter but still bandwidth-dominated
+    assert rp["sol_ms"] < r["sol_ms"]
+    assert rp["sol_ms"] > r["flops_ms"]
+    # training FLOPs agree with summarize's 3x-forward estimate
+    s = summarize(net, (128, 3, 224, 224), print_table=False)
+    assert r["train_flops"] == 3 * s["forward_flops"]
+    # roofline time is never below either pure bound
+    assert r["sol_ms"] >= r["flops_ms"] - 1e-9
+    assert r["sol_ms"] >= max(r["bytes_ms"], r["flops_ms"]) - 1e-9
+    # every row is tagged with the binding resource
+    assert all(row[5] in ("MXU", "HBM") for row in r["rows"])
+    # ResNet-50 b128 bf16 on v5e is mostly HBM-bound under XLA's schedule —
+    # the measured-ceiling explanation VERDICT r3 item 2 asked for
+    assert r["bytes_ms"] > r["flops_ms"]
+
+
+def test_roofline_flagship_cross_validation():
+    """Flagship (ResNet-18-depsep @225) roofline brackets the measured step.
+
+    Measured 12.34 ms device (b128 bf16, PERF.md round-4): the xla-schedule
+    model must sit above the perfect-fusion SoL and within ~25% of the
+    measurement, i.e. [11, 16] ms."""
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.utils.model_summary import roofline
+
+    np.random.seed(0)
+    net = ResNet18("rf", num_classes=120)
+    r = roofline(net, (128, 3, 225, 225), print_table=False)
+    assert 11.0 < r["sol_ms"] < 16.0, r["sol_ms"]
+    rp = roofline(net, (128, 3, 225, 225), schedule="perfect",
+                  print_table=False)
+    assert rp["sol_ms"] < r["sol_ms"]
+    # depthwise-separable stack: overwhelmingly HBM-bound
+    assert r["bytes_ms"] > 2 * r["flops_ms"]
+
+
 def test_fold_batch_norms_inference_equivalence():
     """Folded network must produce (numerically) identical test-mode outputs
     with all BatchNorm layers gone."""
