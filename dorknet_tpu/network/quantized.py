@@ -124,16 +124,24 @@ class QuantizedInferenceRunner(InferenceRunner):
     """
 
     def __init__(self, network, batch_size, batch_sharding=None, fold_bn=True,
-                 quant_kinds=_DEFAULT_QUANT_KINDS):
+                 quant_kinds=_DEFAULT_QUANT_KINDS, weight_only_kinds=()):
         """quant_kinds selects which layer types run int8; the default skips
         DepthwiseConvLayer (see _DEFAULT_QUANT_KINDS note). Pass
         quant_kinds=_QUANT_KINDS (or an explicit tuple) to quantise
-        everything."""
+        everything.
+
+        weight_only_kinds lists layer types that get int8 WEIGHT storage but
+        flow-dtype compute (no activation quantise/requantise — see
+        _make_weight_only). The measured depthwise policy is
+        weight_only_kinds=("DepthwiseConvLayer",): same latency as leaving
+        dw in bf16, dw weights still ship as int8+scales (PERF.md round-4
+        int8-depthwise A/B). A kind in both tuples runs full int8."""
         self._source = network
         self._fold = bool(fold_bn)
         self.batch_size = int(batch_size)
         self.batch_sharding = batch_sharding
         self.quant_kinds = tuple(quant_kinds)
+        self.weight_only_kinds = tuple(weight_only_kinds)
         self._build()
 
     def _build(self):
@@ -148,7 +156,8 @@ class QuantizedInferenceRunner(InferenceRunner):
             for l in net.layers:
                 l._jit_cache = {}
         self.network = net
-        self._nodes, qparams = _build_nodes(net.layers, self.quant_kinds)
+        self._nodes, qparams = _build_nodes(net.layers, self.quant_kinds,
+                                            self.weight_only_kinds)
         self._has_loss = net.loss_layer is not None
         self._params = qparams
         self._states = None
@@ -251,14 +260,17 @@ class QuantizedInferenceRunner(InferenceRunner):
 # (calibration) is an _ActRecorder observing this node's |x| BEFORE
 # quantisation (abs-max or percentile statistic).
 # --------------------------------------------------------------------------- #
-def _build_nodes(layers, kinds=_QUANT_KINDS):
+def _build_nodes(layers, kinds=_QUANT_KINDS, weight_only_kinds=()):
     nodes, qparams = [], []
     for l in layers:
         kind = type(l).__name__
         if kind == "ResidualBlock":
-            node, qp = _make_residual(l, kinds)
+            node, qp = _make_residual(l, kinds, weight_only_kinds)
         elif kind in kinds and l.learned_params:
             node, qp = _make_quant(l, kind)
+        elif kind in weight_only_kinds and kind in _CHANNEL_AXES \
+                and l.learned_params:
+            node, qp = _make_weight_only(l, kind)
         else:
             node, qp = _make_plain(l)
         nodes.append(node)
@@ -334,10 +346,81 @@ def _make_quant(l, kind):
     return apply, qp
 
 
-def _make_residual(l, kinds=_QUANT_KINDS):
-    body_nodes, body_qp = _build_nodes(l.layer_list, kinds)
+def _make_weight_only(l, kind):
+    """int8 WEIGHTS, flow-dtype compute: per-output-channel int8 weight
+    storage dequantised inside the serve program (w ≈ wq·scale, a few KB of
+    elementwise work), with the activation flowing through the standard
+    bf16/fp32 convolution — no activation quantise/requantise passes at all.
+
+    This is the measured depthwise policy (PERF.md round-4 int8-depthwise
+    A/B): full-int8 depthwise erases the int8 serving win because its ~9
+    MACs/output carry no MXU advantage while the requantise adds a full
+    read+write of the activation around half the flagship's layers; weight-
+    only int8 keeps the artifact story (dw weights live as int8 + scales)
+    at bf16's latency, and its only error is weight rounding (top-1
+    agreement ≈ fp32). No activation scale ⇒ contributes nothing to
+    calibrate()/get_scales()."""
+    wq, scale_w = _quantize_weight(kind, l.learned_params["weights"])
+    bias = (np.asarray(l.learned_params["bias"], np.float32)
+            if l.with_bias else None)
+    stride = getattr(l, "stride", 1)
+    padding = getattr(l, "padding", 0)
+
+    if kind == "ConvLayer":
+        wq = np.transpose(wq, (2, 3, 1, 0))  # OIHW -> HWIO
+        sshape, bshape, pre = (1, 1, 1, -1), (1, 1, 1, -1), None
+
+        def compute(x, w):
+            return lax.conv_general_dilated(
+                x, w, (stride, stride), [(padding, padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    elif kind == "DepthwiseConvLayer":
+        C = wq.shape[0]
+        wq = np.transpose(wq, (1, 2, 0))[:, :, None, :]  # (fh,fw,1,C)
+        sshape, bshape, pre = (1, 1, 1, -1), (1, 1, 1, -1), None
+
+        def compute(x, w):
+            return lax.conv_general_dilated(
+                x, w, (stride, stride), [(padding, padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+    elif kind == "PointwiseConvLayer":
+        wq = np.ascontiguousarray(wq.T)  # (O,C) -> (C,O)
+        sshape, bshape = (1, -1), (1, 1, 1, -1)
+
+        def compute(x, w):
+            return jnp.dot(x, w)
+
+        def pre(x):  # reference subsample-first semantics (ops/conv.py:127)
+            return x[:, ::stride, ::stride, :] if stride > 1 else x
+    else:  # DenseLayer
+        sshape, bshape, pre = (1, -1), (1, -1), None
+
+        def compute(x, w):
+            return jnp.dot(x, w)
+
+    qp = {"wq": jnp.asarray(wq), "scale_w": jnp.asarray(scale_w)}
+    if bias is not None:
+        qp["bias"] = jnp.asarray(bias)
+
+    def apply(qp, x, record=None):
+        if pre is not None:
+            x = pre(x)
+        dt = x.dtype
+        w = qp["wq"].astype(dt) * qp["scale_w"].reshape(sshape).astype(dt)
+        y = compute(x, w)
+        if "bias" in qp:
+            y = y + qp["bias"].reshape(bshape).astype(y.dtype)
+        return y.astype(dt)
+
+    return apply, qp
+
+
+def _make_residual(l, kinds=_QUANT_KINDS, weight_only_kinds=()):
+    body_nodes, body_qp = _build_nodes(l.layer_list, kinds, weight_only_kinds)
     if l.skip_projection is not None:
-        skip_node, skip_qp = _build_nodes([l.skip_projection], kinds)
+        skip_node, skip_qp = _build_nodes([l.skip_projection], kinds,
+                                          weight_only_kinds)
         skip_node, skip_qp = skip_node[0], skip_qp[0]
     else:
         skip_node, skip_qp = None, {}
@@ -362,7 +445,8 @@ def _collect_scales(qparams, out):
             _collect_scales(qp["layers"], out)
             if qp["skip"]:
                 _collect_scales([qp["skip"]], out)
-        elif isinstance(qp, dict) and "wq" in qp:
+        elif isinstance(qp, dict) and "s_x" in qp:
+            # weight-only nodes carry wq but no s_x — no activation scale
             out.append(qp["s_x"])
 
 
@@ -375,6 +459,6 @@ def _set_static_scales(qparams, scale_iter):
             if qp["skip"]:
                 _set_static_scales([qp["skip"]], scale_iter)
             # act is plain — no scale
-        elif isinstance(qp, dict) and "wq" in qp:
+        elif isinstance(qp, dict) and "s_x" in qp:
             s = next(scale_iter)
             qp["s_x"] = None if s is None else jnp.float32(s)

@@ -99,6 +99,55 @@ def test_quantized_flagship_residual_structure():
     assert np.abs(p_fp - p_all).max() < 0.08
 
 
+def test_weight_only_depthwise_quantization():
+    """weight_only_kinds=("DepthwiseConvLayer",): dw weights stored int8 +
+    per-channel scales, compute in flow dtype — the measured serving policy
+    (PERF.md round-4 int8-depthwise A/B). Error vs the fp32 server must be
+    weight-rounding-small, i.e. strictly tighter than full-int8-dw, and the
+    dw nodes must contribute no activation scale."""
+    from dorknet_tpu.models import ResNet18
+    from dorknet_tpu.network.quantized import _QUANT_KINDS
+
+    np.random.seed(0)
+    X = np.random.randn(4, 3, 64, 64).astype(np.float32)
+    y = np.eye(12, dtype=np.float32)[np.random.randint(0, 12, 4)]
+    net = _trained(ResNet18("q-wonly", num_classes=12), X, y,
+                   steps=2, lr=0.001)
+
+    fp = InferenceRunner(net, batch_size=4, fold_bn=True)
+    q = QuantizedInferenceRunner(net, batch_size=4)  # dw in flow dtype
+    q_w = QuantizedInferenceRunner(
+        net, batch_size=4, weight_only_kinds=("DepthwiseConvLayer",))
+    q_all = QuantizedInferenceRunner(net, batch_size=4,
+                                     quant_kinds=_QUANT_KINDS)
+
+    # same number of activation scales as the default policy (weight-only
+    # nodes are invisible to calibration); full-int8 has strictly more
+    assert len(q_w.get_scales()) == len(q.get_scales())
+    assert len(q_all.get_scales()) > len(q_w.get_scales())
+
+    p_fp = fp.predict_probs(X)
+    p_w = q_w.predict_probs(X)
+    assert (p_fp.argmax(1) == p_w.argmax(1)).mean() == 1.0
+    # dw weight rounding on top of the default policy's error budget
+    assert np.abs(p_fp - p_w).max() < 0.06
+
+    # the calibrated scale set transfers across policies with the same
+    # quant_kinds (the production set_scales flow)
+    q.calibrate([X])
+    q_w.set_scales(q.get_scales())
+    p_ws = q_w.predict_probs(X)
+    assert (p_fp.argmax(1) == p_ws.argmax(1)).mean() == 1.0
+
+    # int8 weights really are in the program (not folded to fp at build)
+    import jax
+    import jax.numpy as jnp
+
+    txt = jax.jit(q_w._fn).lower(q_w._params, None,
+                                 jnp.asarray(X)).as_text()
+    assert "xi8>" in txt
+
+
 def test_quantized_int8_compute_in_graph():
     """The lowered HLO must actually contain s8 operands — i.e. the path is
     int8 compute, not fp emulation."""
