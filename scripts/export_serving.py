@@ -39,6 +39,11 @@ def main(argv=None):
                          "recorded by QuantizedInferenceRunner.get_scales(); "
                          "baked via set_scales() so the artifact reproduces "
                          "a calibrated server exactly")
+    ap.add_argument("--dw-weight-only", action="store_true",
+                    help="with --int8: depthwise weights stored int8 but "
+                         "computed in the flow dtype (the measured policy — "
+                         "full int8 depthwise erases the serving win, "
+                         "PERF.md round-4 A/B)")
     ap.add_argument("--no-fold-bn", action="store_true",
                     help="serve unfolded BN (default folds conv→BN pairs)")
     ap.add_argument("--bf16", action="store_true",
@@ -62,8 +67,17 @@ def main(argv=None):
 
     if args.bf16:
         dorknet_tpu.set_compute_dtype(jnp.bfloat16)
-    cls = QuantizedInferenceRunner if args.int8 else InferenceRunner
-    runner = cls(net, batch_size=args.batch, fold_bn=not args.no_fold_bn)
+    if args.dw_weight_only and not args.int8:
+        ap.error("--dw-weight-only only applies with --int8")
+    if args.int8:
+        kw = {}
+        if args.dw_weight_only:
+            kw["weight_only_kinds"] = ("DepthwiseConvLayer",)
+        runner = QuantizedInferenceRunner(
+            net, batch_size=args.batch, fold_bn=not args.no_fold_bn, **kw)
+    else:
+        runner = InferenceRunner(net, batch_size=args.batch,
+                                 fold_bn=not args.no_fold_bn)
     if args.scales is not None:
         if not args.int8:
             ap.error("--scales only applies with --int8")

@@ -195,6 +195,49 @@ def test_export_cli_int8_with_calibrated_scales(tmp_path):
         q.predict_probs(X), load_serving_artifact(out2).predict_probs(X))
 
 
+def test_export_cli_int8_dw_weight_only(tmp_path):
+    """--int8 --dw-weight-only exports the measured depthwise policy
+    (PERF.md round-4 A/B): dw weights int8+scales, flow-dtype dw compute —
+    the artifact must reproduce a weight_only_kinds runner exactly."""
+    from dorknet_tpu.layers import (ConvLayer, DepthwiseConvLayer,
+                                    BatchNormLayer, ReLu,
+                                    GlobalAveragePoolingLayer, DenseLayer,
+                                    SoftmaxWithCrossEntropy)
+    from dorknet_tpu.network import FeedForwardNetwork
+    from scripts.export_serving import main as export_main
+
+    np.random.seed(11)
+    net = FeedForwardNetwork("export-dw")
+    net.add_layer(ConvLayer("c0", filter_block_shape=(8, 1, 3, 3)))
+    net.add_layer(BatchNormLayer("b0", incoming_chans=8))
+    net.add_layer(ReLu("r0"))
+    net.add_layer(DepthwiseConvLayer("dw", filter_block_shape=(8, 3, 3),
+                                     stride=1))
+    net.add_layer(BatchNormLayer("b1", incoming_chans=8))
+    net.add_layer(ReLu("r1"))
+    net.add_layer(GlobalAveragePoolingLayer("gap"))
+    net.add_layer(DenseLayer("d0", incoming_chans=8, output_dim=10))
+    net.set_loss_layer(SoftmaxWithCrossEntropy("sm"))
+    X = np.random.randn(16, 1, 28, 28).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[np.random.randint(0, 10, 16)]
+    tr = Trainer(net, SGDMomentum(net, 0.01, 0.9))
+    for _ in range(3):
+        tr.step(X, y)
+
+    jpath, hpath = str(tmp_path / "net.json"), str(tmp_path / "net.h5")
+    net.save_layer_structure_to_json(jpath)
+    net.save_weights_to_h5(hpath)
+
+    out = str(tmp_path / "net_dw.shlo")
+    export_main(["--json", jpath, "--h5", hpath, "--out", out,
+                 "--input", "1,28,28", "--batch", "8", "--int8",
+                 "--dw-weight-only"])
+    q = QuantizedInferenceRunner(
+        net, batch_size=8, weight_only_kinds=("DepthwiseConvLayer",))
+    np.testing.assert_array_equal(
+        q.predict_probs(X), load_serving_artifact(out).predict_probs(X))
+
+
 def test_export_respects_compute_dtype_policy():
     """The artifact freezes the policy ACTIVE at export time — flipping the
     global dtype afterwards must not change what a loaded artifact serves."""
