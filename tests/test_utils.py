@@ -177,6 +177,22 @@ def test_roofline_resnet50_calibration():
     assert r["bytes_ms"] > r["flops_ms"]
 
 
+def test_roofline_report_cli():
+    """scripts/roofline_report: host-only cost report, table + JSON modes."""
+    from scripts.roofline_report import main as report_main
+
+    out = report_main(["--model", "mnist", "--batch", "200", "--json",
+                       "--measured-ms", "1.0"])
+    assert out["sol_ms"] > 0 and out["traffic_gb_per_step"] > 0
+    assert 0 < out["mfu"] < 1 and out["roofline_frac"] > 0
+    out2 = report_main(["--model", "mnist", "--batch", "200", "--fp32",
+                        "--schedule", "perfect"])
+    # fp32 doubles activation bytes -> strictly more traffic than the bf16
+    # xla run even under the tighter schedule at this tiny model's shapes
+    assert out2["dtype"] == "float32" and out2["schedule"] == "perfect"
+    assert out2["traffic_gb_per_step"] != out["traffic_gb_per_step"]
+
+
 def test_roofline_flagship_cross_validation():
     """Flagship (ResNet-18-depsep @225) roofline brackets the measured step.
 
