@@ -553,3 +553,17 @@ def test_mnist_example_real_main_body(tmp_path, monkeypatch, capsys):
     assert recs[-1]["epoch"] == 4
     out = capsys.readouterr().out
     assert "Test acc:" in out and "MNISTDemo" in out
+
+
+def test_remat_ab_script_smoke():
+    """scripts/remat_ab: the three remat policies build, step, and report
+    wall (and device, where a profiler exists) numbers for a tiny config.
+    Numerical equality across policies is pinned separately in
+    test_network.py::test_trainer_remat{,_blocks}_matches_plain."""
+    from scripts.remat_ab import run
+
+    res = run(["resnet18"], batch=2, image=64, classes=5, rounds=1)
+    for policy in ("False", "blocks", "True"):
+        wall = res[f"resnet18_remat_{policy}_wall_ms"]
+        assert wall and wall > 0
+        assert f"resnet18_remat_{policy}_device_ms" in res
