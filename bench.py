@@ -1096,26 +1096,56 @@ def main():
     def time_left():
         return deadline - time.monotonic()
 
-    # Tunnel-health gate: if a trivial matmul can't complete in the probe
-    # window, nothing below can either — emit the contract line and exit
-    # instead of hanging the driver for its whole budget.
-    # both probe windows are clamped to the remaining budget: BENCH_BUDGET_S
-    # is the wall-time contract and the watchdog is not armed yet here
-    probe_s = min(float(os.environ.get("BENCH_PROBE_S", "150")),
+    # Tunnel-health gate (VERDICT r4 item 1): probe UNTIL healthy, in capped
+    # cycles, for as long as the budget allows. BENCH_r04 emitted 0.0 after
+    # one probe + one retry (~450 s) with ~450 s of budget still unused — a
+    # dead 5-minute window at snapshot time must not erase a round's
+    # evidence when the tunnel routinely recovers within the budget
+    # (scripts/tpu_watch.py's probe-until-healthy loop, folded in here).
+    # A probe timeline is kept so a true total outage is distinguishable
+    # from a throughput regression in the artifact.
+    probe_s = min(float(os.environ.get("BENCH_PROBE_S", "120")),
                   max(time_left(), 10.0))
-    if probe_s > 0:
-        ok, took = _probe_device(probe_s)
-        log(f"device probe: ok={ok} {took:.1f}s (limit {probe_s:.0f}s)")
-        if not ok and time_left() > probe_s:
-            # a degraded-but-alive window (matmuls 20-100 s) can fail one
-            # probe yet still yield device-time numbers — retry with a
-            # doubled (budget-clamped) window before writing the round off
-            retry_s = min(2 * probe_s, max(time_left(), 10.0))
-            ok, took = _probe_device(retry_s)
-            log(f"device probe retry: ok={ok} {took:.1f}s")
-        if not ok:
-            _emit(0.0, "wall", note="device probe failed: tunnel unresponsive")
-            sys.exit(1)
+    # the smallest window that can still buy a number: one flagship compile
+    # (~40 s) plus a few timed b128 steps and the emit
+    min_measure_s = 150.0
+    probe_log = []
+    ok = probe_s <= 0
+    while not ok:
+        window = min(probe_s, max(time_left() - 30.0, 10.0))
+        ok, took = _probe_device(window)
+        probe_log.append(f"t+{time.monotonic() - t0:.0f}s:"
+                         f"{'ok' if ok else 'fail'}/{took:.0f}s")
+        log(f"device probe #{len(probe_log)}: ok={ok} {took:.1f}s "
+            f"(window {window:.0f}s, budget left {time_left():.0f}s)")
+        if ok or time_left() < min_measure_s:
+            break
+        time.sleep(min(20.0, max(time_left() - min_measure_s, 0.0)))
+    if not ok:
+        _emit(0.0, "wall",
+              note="tunnel unresponsive for the WHOLE budget (not a "
+                   "regression); probe timeline: " + ",".join(probe_log))
+        sys.exit(1)
+
+    # Late window -> priority-ordered REDUCED battery: the headline and the
+    # round-mandated evidence keys (mfu_*/roofline_frac_*,
+    # e2e_train_packed_ips, serving_load_*, int8 serving) run first and the
+    # long tail (interleaved fp32, accum/multistep variants, CAM, pallas
+    # checks, extra stretch models) is skipped outright.
+    reduced = (os.environ.get("BENCH_REDUCED") == "1"
+               or time_left() < 0.6 * budget)
+    if reduced:
+        log(f"REDUCED battery: window opened with {time_left():.0f}s of "
+            f"{budget:.0f}s left")
+
+    def phase_cap(frac, reserve=30.0):
+        # full mode: tuned absolute fractions of the total budget; reduced
+        # mode: the same fraction of the REMAINING time (the absolute caps
+        # are already in the past when the window opens late)
+        if reduced:
+            return min(deadline - reserve,
+                       time.monotonic() + frac * time_left())
+        return min(deadline - reserve, t0 + frac * budget)
 
     # Watchdog: if a section's device call hangs past the budget (tunnel
     # dying mid-run), a daemon thread force-emits results-so-far. os._exit
@@ -1159,14 +1189,16 @@ def main():
 
     # PRIMARY: contention-fair fp32/bf16 interleaved (captures both configs;
     # bf16 is the recommended training configuration at ~1.8x fp32)
-    try:
-        il = bench_interleaved_fp32_bf16(
-            deadline=min(deadline - 30, t0 + 0.35 * budget))
-        for k, v in il.items():
-            results[f"train_ips_b256_{k}_interleaved"] = v
-            consider(v, "device" if k.endswith("_device") else "wall")
-    except Exception as e:
-        log(f"interleaved fp32/bf16 failed: {e}")
+    if not reduced:
+        try:
+            il = bench_interleaved_fp32_bf16(deadline=phase_cap(0.35))
+            for k, v in il.items():
+                results[f"train_ips_b256_{k}_interleaved"] = v
+                consider(v, "device" if k.endswith("_device") else "wall")
+        except Exception as e:
+            log(f"interleaved fp32/bf16 failed: {e}")
+    else:
+        log("skipping interleaved fp32/bf16 (reduced battery)")
 
     # b128 flagship: the batch-size sweep (PERF.md round-3) found b128 is
     # the per-image throughput sweet spot (+9% device vs b256, with a cliff
@@ -1177,8 +1209,7 @@ def main():
         try:
             ips, dev_ips = bench_train(128, steps=8, trials=2, image=225,
                                        classes=120,
-                                       deadline=min(deadline - 30,
-                                                    t0 + 0.5 * budget),
+                                       deadline=phase_cap(0.5),
                                        compute_dtype=jnp.bfloat16)
             results["train_ips_b128_bf16"] = round(ips, 1)
             consider(ips, "wall")
@@ -1190,13 +1221,33 @@ def main():
     else:
         log("skipping b128 flagship (time budget)")
 
+    def run_e2e():
+        # input-pipeline closure evidence (VERDICT r4 item 5): the packed
+        # pre-decoded path vs the same-window train-only wall ceiling
+        if time_left() > 120:
+            try:
+                e2e_ips, e2e_fused_ips, e2e_packed, e2e_only = bench_e2e_train()
+                results["e2e_train_ips"] = round(e2e_ips, 1)
+                results["e2e_train_fused_ips"] = round(e2e_fused_ips, 1)
+                results["e2e_train_packed_ips"] = round(e2e_packed, 1)
+                results["e2e_trainonly_wall_ips"] = round(e2e_only, 1)
+            except Exception as e:
+                log(f"e2e bench failed: {e}")
+        else:
+            log("skipping e2e config (time budget)")
+
+    if reduced:
+        # priority slot 2 in the reduced battery (after the headline):
+        # e2e_train_packed_ips is a round-mandated key
+        run_e2e()
+
     # effective-b256 via 2 x b128 gradient accumulation — the BEST measured
     # training configuration (sidesteps the post-128 tiling cliff: native
     # b256 pays 27.3 ms/step, 2 x b128 accumulated ~24.7 — PERF.md round-3
     # session-5). Placed directly after the flagship so the headline-best
     # config survives a degraded window (it was skipped in the r03
     # pre-flight when it sat below serving/stretch).
-    if time_left() > 90:
+    if time_left() > 90 and not reduced:
         try:
             ips, dev_ips = bench_train_accum(128, k=2)
             results["train_ips_b256eq_accum2x128_bf16"] = round(ips, 1)
@@ -1208,7 +1259,8 @@ def main():
         except Exception as e:
             log(f"accumulate_step bench failed: {e}")
     else:
-        log("skipping accumulate_step config (time budget)")
+        log("skipping accumulate_step config "
+            + ("(reduced battery)" if reduced else "(time budget)"))
 
     # Serving ladder (BN initialised — _init_bn): bf16 fold_bn + int8.
     # b128: the serving batch sweep (PERF.md round-3) measured b128 at +34%
@@ -1220,7 +1272,7 @@ def main():
             # each extra serving compile costs 10-30 s and this section
             # used to starve stretch/pallas_ok/accumulation (r03 pre-flight)
             ips, q_ips, p50, dev_ms, dev_b = bench_inference(
-                batch=128, deadline=min(deadline - 60, t0 + 0.65 * budget))
+                batch=128, deadline=phase_cap(0.65, reserve=60))
             results["infer_ips_b128_foldbn_bf16"] = round(ips, 1)
             results["infer_ips_b128_int8"] = round(q_ips, 1)
             if p50 is not None:
@@ -1239,7 +1291,7 @@ def main():
     if time_left() > 150:
         try:
             load = bench_serving_under_load(
-                deadline=min(deadline - 60, t0 + 0.7 * budget))
+                deadline=phase_cap(0.7, reserve=60))
             for frac, m in load.items():
                 tag = str(int(frac * 100))
                 results[f"serving_load_rps_{tag}"] = round(m["rps"], 1)
@@ -1261,6 +1313,9 @@ def main():
     # artifact gets at least one stretch number AND the check keys instead
     # of burning the whole tail of the budget on the second model's compile.
     def run_stretch(m):
+        if reduced and m != "resnet50":
+            log(f"skipping {m} (reduced battery)")
+            return
         if time_left() > 60:
             try:
                 ips, dev_ips = bench_train(128, steps=5, trials=1, image=224,
@@ -1280,7 +1335,7 @@ def main():
     # as JAX/Mosaic versions move. After serving/stretch: its ~16 small
     # compiles are cheap in a healthy window but could starve the mandated
     # sections through a degraded tunnel, hence the guard and the placement.
-    if time_left() > 90:
+    if time_left() > 90 and not reduced:
         try:
             ok, err = bench_pallas_check()
             results["pallas_ok"] = bool(ok)
@@ -1293,7 +1348,7 @@ def main():
 
     # Fused pallas augmentation kernel: on-chip correctness + A/B vs the XLA
     # planes pipeline (2 aug-program compiles)
-    if time_left() > 60:
+    if time_left() > 60 and not reduced:
         try:
             ok, max_diff, planes_ips, pallas_ips = bench_pallas_aug()
             results["pallas_aug_ok"] = bool(ok)
@@ -1309,7 +1364,7 @@ def main():
         log("skipping pallas aug check (time budget)")
 
     # SPMD-safe dw rules vs autodiff on the real backend (3 tiny compiles)
-    if time_left() > 45:
+    if time_left() > 45 and not reduced:
         try:
             ok, err = bench_spmd_dw_check()
             results["spmd_dw_ok"] = bool(ok)
@@ -1323,7 +1378,7 @@ def main():
     for m in ("resnet50", "mobilenet_v3", "efficientnet_lite0"):
         run_stretch(m)
 
-    if time_left() > 120:
+    if time_left() > 120 and not reduced:
         try:
             # b128 k4: the fastest measured training configuration
             # (sweet-spot batch + dispatch amortisation, PERF.md round-3)
@@ -1338,7 +1393,7 @@ def main():
     else:
         log("skipping multi_step config (time budget)")
 
-    if time_left() > 90:
+    if time_left() > 90 and not reduced:
         try:
             p50, dev_ms, per_img, bdev_per_img = bench_cam_p50(runs=10)
             results["cam_p50_ms"] = round(p50, 2)
@@ -1353,7 +1408,7 @@ def main():
     else:
         log("skipping CAM config (time budget)")
     # input-pipeline metrics (VERDICT r1 item 3)
-    if time_left() > 120:
+    if time_left() > 120 and not reduced:
         try:
             aug_ips, tr_ips, fused_dev_ips = bench_aug_vs_train_interleaved()
             results["aug_device_ips"] = round(aug_ips, 1)
@@ -1364,18 +1419,9 @@ def main():
             log(f"aug-vs-train bench failed: {e}")
     else:
         log("skipping aug-vs-train config (time budget)")
-    if time_left() > 120:
-        try:
-            e2e_ips, e2e_fused_ips, e2e_packed, e2e_only = bench_e2e_train()
-            results["e2e_train_ips"] = round(e2e_ips, 1)
-            results["e2e_train_fused_ips"] = round(e2e_fused_ips, 1)
-            results["e2e_train_packed_ips"] = round(e2e_packed, 1)
-            results["e2e_trainonly_wall_ips"] = round(e2e_only, 1)
-        except Exception as e:
-            log(f"e2e bench failed: {e}")
-    else:
-        log("skipping e2e config (time budget)")
-    if time_left() > 90:
+    if "e2e_train_ips" not in results:  # reduced mode ran it early
+        run_e2e()
+    if time_left() > 90 and not reduced:
         try:
             host_ips, dev_ips = bench_aug_pipeline()
             results["aug_host_ips"] = round(host_ips, 1)
@@ -1388,7 +1434,7 @@ def main():
     # the tunnel's health fluctuates within a run — re-measure the primary
     # config at the end and keep the best observation (this also covers the
     # standalone-fp32 key the interleaved section may have missed)
-    if time_left() > 60:
+    if time_left() > 60 and not reduced:
         try:
             ips, dev_ips = bench_train(256, steps=8, trials=1,
                                        deadline=deadline)
@@ -1424,7 +1470,10 @@ def main():
 
     done.set()
     log("all results:", results)
-    _final_emit()
+    _final_emit(note=(f"reduced battery: tunnel window opened after "
+                      f"{len(probe_log)} probes "
+                      f"({probe_log[-1] if probe_log else ''})"
+                      if reduced else None))
     if best <= 0:
         sys.exit(1)  # no config measured — signal a broken run, not 0 img/s
 

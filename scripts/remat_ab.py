@@ -35,7 +35,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _build(model, remat, batch, image, classes):
+def _build(model, remat, classes):
     import dorknet_tpu
     from dorknet_tpu.models import ResNet18, ResNet50
     from dorknet_tpu.optimisers import SGDMomentum
@@ -58,16 +58,21 @@ def run(models, batch=128, image=225, classes=120, rounds=3):
     X, y = _device_batch(batch, image, classes)
     results = {}
     for model in models:
-        trainers = {str(r): _build(model, r, batch, image, classes)
+        trainers = {str(r): _build(model, r, classes)
                     for r in (False, "blocks", True)}
         dorknet_tpu.set_compute_dtype(jnp.bfloat16)
         try:
-            # compile everything first, then interleave timed windows
+            # compile + warm 3 steps each, then interleave timed windows.
+            # 3 steps, not 1: BN's first-batch-adopt static trace flag means
+            # step 2 RETRACES by design (CLAUDE.md), so a 1-step warm-up
+            # would leave that recompile inside the first timed window
+            # (same discipline as bench._bench_train_inner).
             for name, tr in trainers.items():
                 t0 = time.perf_counter()
-                loss, _ = tr.step(X, y)
+                for _ in range(3):
+                    loss, _ = tr.step(X, y)
                 float(loss)
-                log(f"{model} remat={name}: compiled+1step "
+                log(f"{model} remat={name}: compiled+3steps "
                     f"{time.perf_counter() - t0:.1f}s")
             wall = {}
             for _ in range(rounds):

@@ -45,18 +45,27 @@ PROBE_CODE = (
     "print(float((x @ x)[0, 0]), time.perf_counter() - t0)\n"
 )
 
-BATTERY = [
-    # (name, argv, timeout_s, extra_env) — session-5 refresh: profile_aug /
-    # serving_sweep were captured (PERF.md round-3 session-5/6); the standing
-    # battery is now the full bench plus the train-step hotspot profile
-    ("bench", [sys.executable, "bench.py"], 1500, {"BENCH_BUDGET_S": "1200"}),
-    ("profile_train",
-     [sys.executable, "-m", "scripts.profile_train", "128", "225"], 900, {}),
-    ("profile_aug", [sys.executable, "-m", "scripts.profile_aug", "128", "225"], 900, {}),
-    ("serving_sweep",
-     [sys.executable, "-m", "scripts.bench_serving_sweep", "96", "112", "128", "144"],
-     900, {}),
-]
+# Registry of runnable battery items: name -> (argv, timeout_s, extra_env).
+# Select with --battery name1,name2 (default DEFAULT_BATTERY below).
+BATTERY_REGISTRY = {
+    "bench": ([sys.executable, "bench.py"], 1500, {"BENCH_BUDGET_S": "1200"}),
+    "remat_ab": ([sys.executable, "-m", "scripts.remat_ab"], 1800, {}),
+    "bn_fuse_ab": ([sys.executable, "-m", "scripts.bn_fuse_ab"], 1200, {}),
+    "profile_train":
+        ([sys.executable, "-m", "scripts.profile_train", "128", "225"], 900, {}),
+    "profile_aug":
+        ([sys.executable, "-m", "scripts.profile_aug", "128", "225"], 900, {}),
+    "serving_sweep":
+        ([sys.executable, "-m", "scripts.bench_serving_sweep",
+          "96", "112", "128", "144"], 900, {}),
+    "dogs_convergence":
+        ([sys.executable, "-m", "scripts.train_synth_dogs"], 3600, {}),
+}
+
+# session-5 refresh: profile_aug / serving_sweep were captured (PERF.md
+# round-3 session-5/6); the standing battery is the full bench plus the
+# train-step hotspot profile
+DEFAULT_BATTERY = "bench,profile_train,profile_aug,serving_sweep"
 
 
 def log(out_dir: str, msg: str) -> None:
@@ -78,8 +87,8 @@ def probe(timeout_s: float) -> tuple[bool, float]:
         return False, time.perf_counter() - t0
 
 
-def run_battery(out_dir: str, probe_timeout_s: float) -> None:
-    for i, (name, argv, timeout_s, extra_env) in enumerate(BATTERY, 1):
+def run_battery(out_dir: str, probe_timeout_s: float, battery) -> None:
+    for i, (name, argv, timeout_s, extra_env) in enumerate(battery, 1):
         # re-probe between items with the SAME health bar as the main loop
         # (ok AND fast): a relapsed-or-degraded link should skip the rest
         # quickly rather than burn each item's full timeout producing garbage
@@ -109,7 +118,14 @@ def main() -> int:
     ap.add_argument("--deadline-s", type=float, default=10 * 3600)
     ap.add_argument("--poll-s", type=float, default=300)
     ap.add_argument("--probe-timeout-s", type=float, default=120)
+    ap.add_argument("--battery", default=DEFAULT_BATTERY,
+                    help="comma list of registry items to run, in order")
     args = ap.parse_args()
+
+    battery = []
+    for name in (n.strip() for n in args.battery.split(",") if n.strip()):
+        argv, timeout_s, extra_env = BATTERY_REGISTRY[name]
+        battery.append((name, argv, timeout_s, extra_env))
 
     os.makedirs(args.out, exist_ok=True)
     t_end = time.monotonic() + args.deadline_s
@@ -124,8 +140,9 @@ def main() -> int:
             ok2, took2 = probe(args.probe_timeout_s)
             log(args.out, f"confirm probe: ok={ok2} {took2:.1f}s")
             if ok2 and took2 < 60:
-                log(args.out, "tunnel healthy; running battery")
-                run_battery(args.out, args.probe_timeout_s)
+                log(args.out, "tunnel healthy; running battery "
+                    + ",".join(n for n, *_ in battery))
+                run_battery(args.out, args.probe_timeout_s, battery)
                 log(args.out, "battery done")
                 return 0
         time.sleep(args.poll_s)
