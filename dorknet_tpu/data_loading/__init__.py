@@ -3,6 +3,8 @@ from dorknet_tpu.data_loading.image_data_loader import ImageDataLoader
 from dorknet_tpu.data_loading.image_preprocessor import ImagePreprocessor
 from dorknet_tpu.data_loading.image_augmentation import ImageAugmenter
 from dorknet_tpu.data_loading.prefetch import device_prefetch, stack_batches
+from dorknet_tpu.data_loading.device_dataset import (DeviceResidentDataset,
+                                                     fits_in_hbm)
 
 __all__ = [
     "get_MNIST_data",
@@ -12,4 +14,6 @@ __all__ = [
     "ImageAugmenter",
     "device_prefetch",
     "stack_batches",
+    "DeviceResidentDataset",
+    "fits_in_hbm",
 ]

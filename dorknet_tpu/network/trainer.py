@@ -467,31 +467,59 @@ class Trainer:
                 horizontal_flip_prob, crop_mode, tt(mixup),
                 jnp.dtype(get_compute_dtype()).name, pallas_aug)
 
+    def _build_aug_step(self, aug):
+        """The un-jitted fused aug+train step body, shared by the direct
+        (batch-in) and indexed (dataset-resident gather) entry points."""
+        from dorknet_tpu.data_loading.device_augment import \
+            _train_pipeline_impl
+
+        optimiser = self.optimiser
+        trainer = self
+        (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype,
+         pallas_aug) = aug
+
+        def step(params, states, cache, ema, rng, Xu8, one_hot, lr):
+            x, y = _train_pipeline_impl(
+                rng, Xu8, one_hot, out_hw, hsv, rot, flip, crop_mode,
+                mixup, "NHWC", "planes", aug_dtype, pallas_aug)
+            grads, (loss, probs, new_states) = jax.grad(
+                lambda p: trainer._forward_loss(p, states, x, y,
+                                                internal=True),
+                has_aux=True)(params)
+            grads = trainer._clip_grads(grads)
+            new_params, new_cache = optimiser.apply_update(
+                params, grads, cache, lr)
+            preds = jnp.argmax(probs, axis=1)
+            new_ema = trainer._ema_update(ema, new_params)
+            return new_params, new_states, new_cache, new_ema, loss, preds
+
+        return step
+
     def _get_aug_step(self, aug):
         key = ("aug",) + aug + self._signature()
         if key not in self._jit_cache:
-            from dorknet_tpu.data_loading.device_augment import \
-                _train_pipeline_impl
+            self._jit_cache[key] = jax.jit(self._build_aug_step(aug),
+                                           donate_argnums=(0, 2, 3))
+        return self._jit_cache[key]
 
-            optimiser = self.optimiser
-            trainer = self
-            (out_hw, hsv, rot, flip, crop_mode, mixup, aug_dtype,
-             pallas_aug) = aug
+    def _get_indexed_aug_step(self, aug, num_classes):
+        key = ("aug-idx", num_classes) + aug + self._signature()
+        if key not in self._jit_cache:
+            base = self._build_aug_step(aug)
 
-            def step(params, states, cache, ema, rng, Xu8, one_hot, lr):
-                x, y = _train_pipeline_impl(
-                    rng, Xu8, one_hot, out_hw, hsv, rot, flip, crop_mode,
-                    mixup, "NHWC", "planes", aug_dtype, pallas_aug)
-                grads, (loss, probs, new_states) = jax.grad(
-                    lambda p: trainer._forward_loss(p, states, x, y,
-                                                    internal=True),
-                    has_aux=True)(params)
-                grads = trainer._clip_grads(grads)
-                new_params, new_cache = optimiser.apply_update(
-                    params, grads, cache, lr)
-                preds = jnp.argmax(probs, axis=1)
-                new_ema = trainer._ema_update(ema, new_params)
-                return new_params, new_states, new_cache, new_ema, loss, preds
+            def step(params, states, cache, ema, rng, images, labels, rows,
+                     lr):
+                # HBM-resident dataset: the gather and the one-hot live
+                # INSIDE the step program, so a training step moves only
+                # (B,) int32 indices from the host — the TPU-native answer
+                # to the reference's keep-the-device-fed producer thread
+                # (reference data_loading/image_data_loader.py:88-117) once
+                # the packed dataset fits in HBM.
+                Xu8 = jnp.take(images, rows, axis=0)
+                one_hot = jax.nn.one_hot(jnp.take(labels, rows), num_classes,
+                                         dtype=jnp.float32)
+                return base(params, states, cache, ema, rng, Xu8, one_hot,
+                            lr)
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 2, 3))
         return self._jit_cache[key]
@@ -531,6 +559,36 @@ class Trainer:
             new_params, new_states, self._cache, self._ema, loss, preds = fn(
                 params, states, self._cache, self._ema, rng, X, y,
                 self.optimiser.device_lr())
+        self._commit(new_params, new_states)
+        return loss, preds
+
+    def step_augmented_indexed(self, rng, images, labels, rows, out_hw,
+                               num_classes, hsv_pert_tuples=None,
+                               rotation_tuple=None,
+                               horizontal_flip_prob=None, crop_mode="random",
+                               mixup=None):
+        """One fused gather+augment+train step over an HBM-resident dataset
+        (data_loading.DeviceResidentDataset). images: (N, H, W, C) uint8
+        device array (the WHOLE dataset, uploaded once); labels: (N,) int32
+        device array; rows: (B,) int row indices for this step — the only
+        per-step host->device traffic. Numerically equal to
+        ``step_augmented(rng, images[rows], one_hot(labels[rows]), ...)``
+        (pinned by test_device_dataset). The sampling protocol (shuffle /
+        class balance / data_shard) stays host-side, producing indices —
+        full ImageDataLoader parity at ~4 bytes/image moved instead of the
+        reference's whole-canvas producer pipeline (reference
+        data_loading/image_data_loader.py:88-117)."""
+        aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+                               horizontal_flip_prob, crop_mode, mixup)
+        params, states = self._prepare()
+        if not isinstance(rows, jax.Array):
+            rows = jax.device_put(np.ascontiguousarray(rows, dtype=np.int32),
+                                  self._sharding_for(1))
+        with self._safe_grads_ctx():
+            fn = self._get_indexed_aug_step(aug, int(num_classes))
+            new_params, new_states, self._cache, self._ema, loss, preds = fn(
+                params, states, self._cache, self._ema, rng, images, labels,
+                rows, self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return loss, preds
 
