@@ -1410,6 +1410,32 @@ def main():
     else:
         log("skipping spmd dw check (time budget)")
 
+    # Pallas GEMM+BN-stats epilogue vs XLA's fused pair (VERDICT r4 item 3):
+    # the round-5 A/B measured XLA already at the perfect-traffic roofline
+    # for the pair (it multi-output-fuses the stats into the GEMM consumer),
+    # the Pallas epilogue kernel at 73% of it — a measured negative. This
+    # key re-validates that verdict every round as XLA/Mosaic move
+    # (speedup > 1 would mean the kernel should come off the shelf).
+    if time_left() > 60 and not reduced:
+        try:
+            from scripts.bn_fuse_ab import SHAPES as _BN_SHAPES
+            from scripts.bn_fuse_ab import run as _bn_fuse_run
+
+            r = _bn_fuse_run(rounds=1, runs=2, shapes=_BN_SHAPES[:1])
+            results["pallas_bn_fuse_ok"] = bool(
+                r.get("early_64_256_s56_stats_ok"))
+            if "early_64_256_s56_fused_speedup" in r:
+                results["pallas_bn_fuse_speedup"] = (
+                    r["early_64_256_s56_fused_speedup"])
+                results["pallas_bn_fuse_xla_device_ms"] = (
+                    r["early_64_256_s56_xla_device_ms"])
+                results["pallas_bn_fuse_device_ms"] = (
+                    r["early_64_256_s56_pallas_fused_device_ms"])
+        except Exception as e:
+            log(f"bn fuse check failed: {e}")
+    else:
+        log("skipping bn fuse check (time budget)")
+
     for m in ("resnet50", "mobilenet_v3", "efficientnet_lite0"):
         run_stretch(m)
 

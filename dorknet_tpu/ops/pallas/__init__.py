@@ -9,6 +9,7 @@ compiled on TPU)."""
 
 from dorknet_tpu.ops.pallas.bn_stats import batch_norm_stats
 from dorknet_tpu.ops.pallas.depthwise import depthwise3x3
-from dorknet_tpu.ops.pallas.matmul import matmul
+from dorknet_tpu.ops.pallas.matmul import matmul, matmul_bn_stats
 
-__all__ = ["batch_norm_stats", "depthwise3x3", "matmul"]
+__all__ = ["batch_norm_stats", "depthwise3x3", "matmul",
+           "matmul_bn_stats"]

@@ -53,3 +53,84 @@ def matmul(a, b, bm=256, bn=256, interpret=False):
         interpret=interpret,
     )(a, b)
     return out[:M, :N]
+
+
+def _mm_stats_kernel(a_ref, b_ref, o_ref, sum_ref, sq_ref):
+    # grid is (N-tiles, M-tiles) with M innermost, so for a fixed j the
+    # (8, bn) stat accumulators stay VMEM-resident across the whole column
+    # sweep — the epilogue never round-trips through HBM
+    i = pl.program_id(1)
+    y = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    # row 0 of the (8, bn) blocks (fp32 sublane tiling; rows 1..7 stay zero)
+    sum_ref[0:1, :] += jnp.sum(y, axis=0, keepdims=True)
+    sq_ref[0:1, :] += jnp.sum(y * y, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "out_dtype", "interpret"))
+def matmul_bn_stats(a, b, bm=512, bn=256, out_dtype=None, interpret=False):
+    """(M,K) @ (K,N) with per-output-channel batch-norm statistics computed
+    in the kernel epilogue: returns (y, mean, var) where y is (M,N) in
+    ``out_dtype`` (default: a's dtype) and mean/var are (N,) fp32 over the
+    M axis (biased var, the reference contract —
+    layers/batch_norm_stats_cy.pyx:17-47).
+
+    The point (VERDICT r4 item 3): a pointwise conv feeding BatchNorm is a
+    GEMM whose output XLA writes to HBM and then RE-READS for the stats
+    reduce pass (the convert_reduce/multiply_reduce family — 61.9% of the
+    R50 step trace, PERF.md round-4). Computing sum/sum-of-squares while
+    the output tile is still in VMEM removes that second pass entirely —
+    the fused-epilogue philosophy of the reference's Cython kernels
+    (layers/im2col.pyx:143-178), applied to the TPU's memory hierarchy.
+    A/B harness: scripts/bn_fuse_ab.py."""
+    M, K = a.shape
+    K2, N = b.shape
+    assert K == K2
+    out_dtype = a.dtype if out_dtype is None else out_dtype
+    bm = min(bm, _round_up(M, 8))
+    bn = min(bn, _round_up(N, 128))
+    Mp, Np = _round_up(M, bm), _round_up(N, bn)
+    if Mp != M:
+        a = jnp.pad(a, ((0, Mp - M), (0, 0)))  # zero rows add 0 to the sums
+    if Np != N:
+        b = jnp.pad(b, ((0, 0), (0, Np - N)))
+
+    y, sums, sqs = pl.pallas_call(
+        _mm_stats_kernel,
+        grid=(Np // bn, Mp // bm),  # N outer, M inner (see kernel comment)
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+            jax.ShapeDtypeStruct((8, Np), jnp.float32),
+            jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * K + 3 * Mp * Np,
+            bytes_accessed=(Mp * K + K * Np) * a.dtype.itemsize
+                           + Mp * Np * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(a, b)
+    mean = sums[0, :N] / M
+    var = sqs[0, :N] / M - mean * mean
+    return y[:M, :N], mean, jnp.maximum(var, 0.0)

@@ -154,6 +154,17 @@ def case_bn_stats(topo):
     return batch_norm_stats, (xs,)
 
 
+def case_matmul_bn_stats(topo):
+    # the fused GEMM + BN-stats-epilogue kernel at a bf16 R50-block shape
+    # (pointwise conv feeding BatchNorm — scripts/bn_fuse_ab.py's subject)
+    from dorknet_tpu.ops.pallas.matmul import matmul_bn_stats
+
+    s = jax.sharding.SingleDeviceSharding(topo.devices[0])
+    a = jax.ShapeDtypeStruct((8 * 56 * 56, 64), jnp.bfloat16, sharding=s)
+    b = jax.ShapeDtypeStruct((64, 256), jnp.bfloat16, sharding=s)
+    return (lambda a, b: matmul_bn_stats(a, b)), (a, b)
+
+
 def case_flagship_dp_tp_step(topo):
     """The production fused train step, DP×TP-sharded over a REAL 2x2 v5e
     mesh: cross-replica BN, grad all-reduce and TP boundary collectives all

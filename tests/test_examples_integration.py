@@ -570,6 +570,18 @@ def test_remat_ab_script_smoke():
         assert f"resnet18_remat_{policy}_device_ms" in res
 
 
+def test_bn_fuse_ab_script_smoke():
+    """scripts/bn_fuse_ab on a tiny shape (CPU: Pallas in interpret mode,
+    device-ms keys absent): the three variants agree on the stats and the
+    result dict carries the ok key bench.py reads."""
+    from scripts.bn_fuse_ab import run
+
+    res = run(rounds=1, runs=1, batch=2,
+              shapes=[("tiny_16_32_s8", 8, 16, 32)])
+    assert res["tiny_16_32_s8_stats_ok"] is True
+    assert res["tiny_16_32_s8_pallas_fused_stats_rel_err"] < 2e-2
+
+
 # ---------------------------------------------------------------------------
 # bench.main() gate logic (VERDICT r4 item 1): probe-until-healthy, the
 # priority-ordered reduced battery, and the probe-timeline note on a true

@@ -48,6 +48,49 @@ def test_matmul(M, K, N):
     np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("M,K,N,bm,bn", [
+    (64, 32, 48, 512, 256),     # single tile, padded N
+    (300, 64, 120, 64, 128),    # multi-tile both axes, padded M and N
+    (8, 16, 128, 512, 256),     # tiny M
+])
+def test_matmul_bn_stats(M, K, N, bm, bn):
+    """Fused GEMM+stats epilogue == plain GEMM + np mean/biased-var, with
+    y in the requested dtype and stats unpolluted by tile padding."""
+    from dorknet_tpu.ops.pallas.matmul import matmul_bn_stats
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(M, K).astype(np.float32)
+    b = rng.randn(K, N).astype(np.float32)
+    y, mean, var = matmul_bn_stats(jnp.asarray(a), jnp.asarray(b),
+                                   bm=bm, bn=bn, interpret=True)
+    ref = a @ b
+    assert y.shape == (M, N) and y.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean), ref.mean(0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), ref.var(0),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_matmul_bn_stats_bf16_out():
+    from dorknet_tpu.ops.pallas.matmul import matmul_bn_stats
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(96, 32).astype(np.float32)
+    b = rng.randn(32, 128).astype(np.float32)
+    y, mean, var = matmul_bn_stats(
+        jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
+        interpret=True)
+    assert y.dtype == jnp.bfloat16
+    ref = a @ b
+    # stats accumulate in fp32 from the fp32 MXU product, NOT from the
+    # rounded bf16 output — tolerance reflects bf16 inputs only
+    np.testing.assert_allclose(np.asarray(mean), ref.mean(0),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(var), ref.var(0),
+                               rtol=5e-2, atol=5e-1)
+
+
 @pytest.mark.parametrize("stride,H", [(1, 10), (2, 10), (2, 9)])
 def test_depthwise3x3_forward(stride, H):
     x = np.random.randn(2, H, H, 8).astype(np.float32)
