@@ -962,6 +962,17 @@ def bench_pallas_aug(batch=128, image=225):
     return ok, max_diff, planes_ips, pallas_ips
 
 
+def bench_bn_fuse_check():
+    """One-shape rerun of the scripts/bn_fuse_ab A/B (Pallas GEMM+BN-stats
+    epilogue vs XLA's multi-output-fused pair) at the HBM-bound R50 early
+    block — the standing re-validation of the round-5 measured negative
+    (PERF.md round 5)."""
+    from scripts.bn_fuse_ab import SHAPES as _BN_SHAPES
+    from scripts.bn_fuse_ab import run as _bn_fuse_run
+
+    return _bn_fuse_run(rounds=1, runs=2, shapes=_BN_SHAPES[:1])
+
+
 def bench_spmd_dw_check(B=8, H=14, C=64):
     """On-chip correctness of the SPMD-safe depthwise weight-gradient rules
     (ops/conv.py:_depthwise_core_bwd): the custom_partitioning "conv" rule
@@ -1418,10 +1429,7 @@ def main():
     # (speedup > 1 would mean the kernel should come off the shelf).
     if time_left() > 60 and not reduced:
         try:
-            from scripts.bn_fuse_ab import SHAPES as _BN_SHAPES
-            from scripts.bn_fuse_ab import run as _bn_fuse_run
-
-            r = _bn_fuse_run(rounds=1, runs=2, shapes=_BN_SHAPES[:1])
+            r = bench_bn_fuse_check()
             results["pallas_bn_fuse_ok"] = bool(
                 r.get("early_64_256_s56_stats_ok"))
             if "early_64_256_s56_fused_speedup" in r:

@@ -43,6 +43,12 @@ DOCKER = False
 data_folder = "/Datasets" if DOCKER else os.environ.get(
     "DORKNET_DATA", os.path.expanduser("~/Datasets"))
 ON_DEVICE_AUGMENT = os.environ.get("DORKNET_ON_DEVICE_AUGMENT", "0") == "1"
+# DEVICE_RESIDENT: the dataset lives in device memory (uploaded once from a
+# packed dir — auto-packed on first run), each step moves only (B,) int32
+# indices, and gather+aug+mixup+train run as ONE dispatch
+# (Trainer.step_augmented_indexed; 89% of the train-only wall ceiling,
+# PERF.md round 5). Implies on-device augmentation.
+DEVICE_RESIDENT = os.environ.get("DORKNET_DEVICE_RESIDENT", "0") == "1"
 IMAGE_SIZE = int(os.environ.get("DORKNET_IMAGE", "225"))
 EPOCHS = int(os.environ.get("DORKNET_EPOCHS", "40"))          # exclusive bound
 TRAIN_SET_SIZE = int(os.environ.get("DORKNET_TRAIN_SIZE", "150473"))
@@ -62,7 +68,34 @@ def _require_dataset(path):
 
 if __name__ == "__main__":
     _require_dataset(os.path.join(data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img"))
-    if ON_DEVICE_AUGMENT:
+    resident_ds = None
+    if DEVICE_RESIDENT:
+        from dorknet_tpu.data_loading import DeviceResidentDataset
+        from dorknet_tpu.data_loading.packed_dataset import (
+            is_packed_dir, write_packed_dataset)
+
+        train_root = os.path.join(
+            data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img")
+        train_preprocessor = ImagePreprocessor(
+            image_size=(IMAGE_SIZE, IMAGE_SIZE), crop_mode="random")
+        if is_packed_dir(train_root):
+            packed_root = train_root
+        else:
+            # decode once into the packed layout next to the source tree
+            # (scripts/pack_dataset.py produces the same thing offline)
+            packed_root = train_root.rstrip("/") + "_packed"
+            if not is_packed_dir(packed_root):
+                pw, ph = train_preprocessor.precrop_size  # (w, h)
+                print("packing {} -> {} (one-time decode)".format(
+                    train_root, packed_root))
+                write_packed_dataset(train_root, packed_root, (ph, pw),
+                                     num_workers=NUM_WORKERS,
+                                     use_native_loader=True)
+        # one-time chunked upload; per-step host traffic is (B,) indices
+        resident_ds = DeviceResidentDataset(packed_root, BATCH_SIZE,
+                                            class_balance=False)
+        train_data_loader = None
+    elif ON_DEVICE_AUGMENT:
         # host: decode + precrop-resize only; crop/HSV/rot/flip/mixup run as
         # one jitted program on the TPU (device_augment.train_pipeline)
         train_preprocessor = ImagePreprocessor(image_size=(IMAGE_SIZE, IMAGE_SIZE),
@@ -103,7 +136,8 @@ if __name__ == "__main__":
     # record, append-mode so restart runs extend the same curve
     metrics = MetricsLogger("logging/" + experiment_name + ".metrics.jsonl")
     metrics.bind(batch=BATCH_SIZE, image_size=IMAGE_SIZE,
-                 on_device_augment=ON_DEVICE_AUGMENT)
+                 on_device_augment=ON_DEVICE_AUGMENT,
+                 device_resident=DEVICE_RESIDENT)
     network = ResNet18(experiment_name, load_layers=True)
     if not os.path.isdir(experiment_name):
         os.mkdir(experiment_name)
@@ -131,7 +165,8 @@ if __name__ == "__main__":
     # batches — so the on-device path's effective step batch is 2B and the
     # reference's linear lr rule 0.05*(B/200) scales accordingly (and the
     # epoch uses half the pulls; see `steps` below)
-    effective_batch = 2 * BATCH_SIZE if ON_DEVICE_AUGMENT else BATCH_SIZE
+    effective_batch = (2 * BATCH_SIZE if (ON_DEVICE_AUGMENT or DEVICE_RESIDENT)
+                       else BATCH_SIZE)
     sgd = SGDMomentum(network, 0.05 * (effective_batch / 200.0), 0.9)
     trainer = Trainer(network, sgd, ema_decay=ema_decay)
     logging.info(network)
@@ -141,21 +176,37 @@ if __name__ == "__main__":
             running_loss_average = None
             logging.info("Epoch {}:".format(e))
             logging.info("Shuffling data: ")
-            train_data_loader.shuffle_indices()
+            (resident_ds if DEVICE_RESIDENT
+             else train_data_loader).shuffle_indices()
             correct_total = 0
             if e == 16 or e == 20 or e == 25:
                 logging.info("Multiplying learning rate by 0.5")
                 sgd.multiply_learning_rate(0.5)
-            # one epoch = ~TRAIN_SET_SIZE trained images on both paths: the
+            # one epoch = ~TRAIN_SET_SIZE trained images on all paths: the
             # host loader's mixup emits 2 batches per pull already; the device
-            # path trains 2B per pull, so it needs half the pulls
+            # paths train 2B per pull, so they need half the pulls
             steps = max(1, int(TRAIN_SET_SIZE / BATCH_SIZE /
-                               (2 if ON_DEVICE_AUGMENT else 1)))
-            batches = device_prefetch(train_data_loader.pull_batch(steps))
+                               (2 if (ON_DEVICE_AUGMENT or DEVICE_RESIDENT)
+                                else 1)))
+            if DEVICE_RESIDENT:
+                batches = (resident_ds.next_indices() for _ in range(steps))
+            else:
+                batches = device_prefetch(train_data_loader.pull_batch(steps))
             aug_key = jax.random.PRNGKey(e)
-            for i, (X_batch, y_batch, y_one_hot) in enumerate(
-                    tqdm(batches, total=steps)):
-                if ON_DEVICE_AUGMENT:
+            for i, item in enumerate(tqdm(batches, total=steps)):
+                if DEVICE_RESIDENT:
+                    # HBM-resident dataset: gather+one-hot+aug+mixup+train is
+                    # ONE dispatch; only the (B,) index vector leaves the host
+                    # (Trainer.step_augmented_indexed)
+                    rows = item
+                    y_batch = resident_ds.packed.labels[rows]
+                    aug_key, k = jax.random.split(aug_key)
+                    loss, preds = trainer.step_augmented_indexed(
+                        k, resident_ds.images, resident_ds.labels, rows,
+                        (IMAGE_SIZE, IMAGE_SIZE), resident_ds.num_classes,
+                        crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
+                elif ON_DEVICE_AUGMENT:
+                    X_batch, y_batch, y_one_hot = item
                     aug_key, k = jax.random.split(aug_key)
                     # the loader's uint8 batch goes in AS uint8 (the crop
                     # stage runs at 1 byte/pixel) and the whole aug+mixup+
@@ -165,6 +216,7 @@ if __name__ == "__main__":
                         k, X_batch, y_one_hot, (IMAGE_SIZE, IMAGE_SIZE),
                         crop_mode="random", mixup=(0.0, 0.3), **AUG_CFG)
                 else:
+                    X_batch, y_batch, y_one_hot = item
                     loss, preds = trainer.step(X_batch, y_one_hot)
                 loss = float(loss)
                 if running_loss_average is None:
@@ -198,7 +250,8 @@ if __name__ == "__main__":
                 trainer.ema_network().save_weights_to_h5(os.path.join(
                     experiment_name, "epoch_{}_ema.h5".format(e)))
     except Exception:
-        train_data_loader.stop_thread()
+        if train_data_loader is not None:
+            train_data_loader.stop_thread()
         val_data_loader.stop_thread()
         raise
     finally:

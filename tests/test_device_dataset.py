@@ -114,6 +114,7 @@ def test_data_shard_striding(packed_dir):
     assert rows[0] | rows[1] == set(range(12))
 
 
+@pytest.mark.slow
 def test_step_augmented_indexed_equals_direct(packed_dir):
     """Same key, same rows: the indexed fused step == step_augmented on the
     host-gathered batch — losses, preds, and the full param trajectory."""

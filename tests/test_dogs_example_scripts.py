@@ -20,6 +20,9 @@ import cv2
 import numpy as np
 import pytest
 
+# Every test here runs a script __main__ / subprocess — the slow tier.
+pytestmark = pytest.mark.slow
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_CLASSES = 120  # ResNet18's classifier width — the tree must match
 IMG = 40
@@ -130,6 +133,32 @@ def test_training_script_restart_with_on_device_augment(dogs_env):
             os.environ.pop(k, None)
     # the restart run overwrote/added its own epoch-1 checkpoint
     assert glob.glob(str(dogs_env / "CITinyDogs" / "epoch_1_testacc_*.h5"))
+
+
+def test_training_script_device_resident_mode(dogs_env):
+    """DORKNET_DEVICE_RESIDENT=1: the script auto-packs the JPEG tree on
+    first run, uploads it once (DeviceResidentDataset), and trains via
+    step_augmented_indexed — the HBM-resident fast path, end-to-end through
+    the same __main__ (restart from the epoch-1 checkpoint)."""
+    assert "ckpt" in _produced, "training test must run first"
+    os.environ["DORKNET_RESTART_CKPT"] = _produced["ckpt"]
+    os.environ["DORKNET_START_EPOCH"] = "1"
+    os.environ["DORKNET_DEVICE_RESIDENT"] = "1"
+    try:
+        _run("examples.imagenet_dogs_225_resnet_18_depsep")
+    finally:
+        for k in ("DORKNET_RESTART_CKPT", "DORKNET_START_EPOCH",
+                  "DORKNET_DEVICE_RESIDENT"):
+            os.environ.pop(k, None)
+    assert glob.glob(str(dogs_env / "CITinyDogs" / "epoch_1_testacc_*.h5"))
+    # the one-time pack landed next to the source tree and is reused
+    packed = (dogs_env / "data" / "ImageNet2012" / "ILSVRC2012_dogs" /
+              "train_img_packed")
+    assert (packed / "packed_meta.json").exists()
+    # metrics sidecar records the mode
+    mfile = dogs_env / "logging" / "CITinyDogs.metrics.jsonl"
+    recs = [json.loads(l) for l in open(mfile)]
+    assert any(r.get("device_resident") for r in recs)
 
 
 def test_cam_script_writes_overlays(dogs_env):

@@ -59,6 +59,7 @@ def test_ema_decay_zero_tracks_params_exactly():
         np.testing.assert_allclose(np.asarray(e), np.asarray(p), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ema_multi_step_and_accumulate():
     """multi_step (lax.scan of K steps) must advance the shadow K times —
     trajectory-identical to K individual steps."""

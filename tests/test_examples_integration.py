@@ -270,6 +270,7 @@ def test_synthetic_cam_demo(tmp_path):
     assert im is not None and im.shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_8_devices():
     """The driver's multichip contract, in-suite (conftest provides 8 virtual
     CPU devices): full flagship train step over a dp x tp mesh."""
@@ -297,6 +298,7 @@ def test_bench_functions_smoke():
     assert ok and err < 1e-4
 
 
+@pytest.mark.slow
 def test_bench_stretch_models_smoke():
     """The stretch-zoo section of bench.main() (mobilenet_v2 / resnet50 via
     bench_train's model arg) — uncovered in round 2, which is why the driver
@@ -333,6 +335,7 @@ def test_bench_serving_sections_smoke():
         assert m["rps"] > 0
 
 
+@pytest.mark.slow
 def test_bench_pipeline_sections_smoke():
     """bench_interleaved_fp32_bf16, bench_aug_vs_train_interleaved and
     bench_e2e_train execute end-to-end on tiny configs."""
@@ -447,6 +450,7 @@ def test_serving_demo_smoke(capsys):
     assert "BatchingServer" in out
 
 
+@pytest.mark.slow
 def test_data_parallel_training_example():
     """examples/data_parallel_training.py runs end-to-end on the 8 virtual
     devices, including the FSDP dp4xtp2 section (which exercises the
@@ -500,6 +504,7 @@ def test_serving_load_harness_smoke():
     assert server.dispatches <= server.rows_served  # batching happened
 
 
+@pytest.mark.slow
 def test_mnist_example_real_main_body(tmp_path, monkeypatch, capsys):
     """The MNIST example's ACTUAL __main__ executes in CI (VERDICT r3 weak
     #3 — previously only a mirrored loop ran): synthetic digit-texture npy
@@ -615,6 +620,11 @@ def _stub_sections(monkeypatch, bench, called):
                         rec("pallas_aug", (True, 0.0, 100.0, 100.0)))
     monkeypatch.setattr(bench, "bench_spmd_dw_check",
                         rec("spmd_dw", (True, 1e-7)))
+    monkeypatch.setattr(bench, "bench_bn_fuse_check",
+                        rec("bn_fuse", {"early_64_256_s56_stats_ok": True,
+                                        "early_64_256_s56_fused_speedup": 0.7,
+                                        "early_64_256_s56_xla_device_ms": 0.3,
+                                        "early_64_256_s56_pallas_fused_device_ms": 0.4}))
     monkeypatch.setattr(bench, "bench_cam_p50", rec("cam", (5.0, 2.0, 1.0, 0.5)))
     monkeypatch.setattr(bench, "bench_aug_vs_train_interleaved",
                         rec("aug_vs_train", (100.0, 50.0, 200.0)))
@@ -652,7 +662,7 @@ def test_bench_gate_probes_until_healthy(monkeypatch, capsys):
     assert out.get("note") is None
     # full battery: everything ran, including the long tail
     for name in ("interleaved", "accum", "multistep", "cam", "pallas",
-                 "pallas_aug", "spmd_dw", "aug_vs_train", "e2e",
+                 "pallas_aug", "spmd_dw", "bn_fuse", "aug_vs_train", "e2e",
                  "aug_pipeline", "roofline"):
         assert name in called, name
 
@@ -675,7 +685,8 @@ def test_bench_gate_reduced_battery_priority(monkeypatch, capsys):
     for name in ("train", "e2e", "inference", "serving_load", "roofline"):
         assert name in called, name
     for name in ("interleaved", "accum", "multistep", "cam", "pallas",
-                 "pallas_aug", "spmd_dw", "aug_vs_train", "aug_pipeline"):
+                 "pallas_aug", "spmd_dw", "bn_fuse", "aug_vs_train",
+                 "aug_pipeline"):
         assert name not in called, name
     # priority order: headline first, e2e (packed key) immediately after,
     # before the serving sections

@@ -90,6 +90,7 @@ def test_mobilenet_v2_convergence_smoke():
                                steps=50, lr=5e-4, signal=0.5)
 
 
+@pytest.mark.slow
 def test_resnet50_convergence_smoke():
     np.random.seed(0)
     _converges_on_channel_task(ResNet50("r50-conv", num_classes=4), 4,

@@ -286,6 +286,7 @@ def test_pallas_augment_gates(monkeypatch, _aug_interpret):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_pallas_kernels_true_aot_compile_v5e():
     """The FULL libtpu AOT pipeline (XLA + Mosaic backend incl. layout/
     alignment legalisation) accepts every Pallas kernel, chip-free, against

@@ -550,6 +550,7 @@ def test_spatial_sharded_inference_runner_matches_unsharded():
                                p_single[:1], rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_multihost_two_process_dryrun_matches_single_process():
     """REAL multi-process jax.distributed (VERDICT r3 weak #4): 2 host
     processes x 2 virtual CPU devices join a coordinator, stripe the dataset
