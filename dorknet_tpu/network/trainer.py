@@ -662,3 +662,69 @@ class Trainer:
                 self.optimiser.device_lr())
         self._commit(new_params, new_states)
         return losses, preds
+
+    def _get_multi_indexed_aug_step(self, aug, num_classes):
+        key = ("multi-aug-idx", num_classes) + aug + self._signature()
+        if key not in self._jit_cache:
+            base = self._build_aug_step(aug)
+
+            def multi(params, states, cache, ema, images, labels, rngs,
+                      rows_stack, lr):
+                def body(carry, batch):
+                    params, states, cache, ema = carry
+                    rng, rows = batch
+                    Xu8 = jnp.take(images, rows, axis=0)
+                    one_hot = jax.nn.one_hot(jnp.take(labels, rows),
+                                             num_classes, dtype=jnp.float32)
+                    (params, states, cache, ema, loss,
+                     preds) = base(params, states, cache, ema, rng, Xu8,
+                                   one_hot, lr)
+                    return (params, states, cache, ema), (loss, preds)
+
+                (params, states, cache, ema), (losses, preds) = jax.lax.scan(
+                    body, (params, states, cache, ema), (rngs, rows_stack))
+                return params, states, cache, ema, losses, preds
+
+            self._jit_cache[key] = jax.jit(multi, donate_argnums=(0, 2, 3))
+        return self._jit_cache[key]
+
+    def multi_step_augmented_indexed(self, rngs, images, labels, rows_stack,
+                                     out_hw, num_classes,
+                                     hsv_pert_tuples=None,
+                                     rotation_tuple=None,
+                                     horizontal_flip_prob=None,
+                                     crop_mode="random", mixup=None):
+        """K fused gather+augment+train steps over an HBM-resident dataset
+        in ONE dispatch (lax.scan): rows_stack is (K, B) int32 — K training
+        steps leave the host as one program call carrying only K*B*4 bytes
+        of indices, amortising the per-dispatch link latency the same way
+        multi_step does for device-resident batches (CLAUDE.md: ~10 ms/
+        dispatch through the tunnel). rngs: (K,) stacked keys. Per-step
+        numerics equal step_augmented_indexed (pinned by test). Fresh-net
+        fallback matches multi_step_augmented: BN's first-batch adoption is
+        a static trace condition, so an uninitialised network takes K
+        single steps instead of compiling a throwaway scan."""
+        if not all(l.bn_initialized() for l in self.network.layers):
+            losses, preds = [], []
+            for i in range(len(rows_stack)):
+                li, pi = self.step_augmented_indexed(
+                    rngs[i], images, labels, rows_stack[i], out_hw,
+                    num_classes, hsv_pert_tuples, rotation_tuple,
+                    horizontal_flip_prob, crop_mode, mixup)
+                losses.append(li)
+                preds.append(pi)
+            return jnp.stack(losses), jnp.stack(preds)
+
+        aug = self._freeze_aug(out_hw, hsv_pert_tuples, rotation_tuple,
+                               horizontal_flip_prob, crop_mode, mixup)
+        params, states = self._prepare()
+        if not isinstance(rows_stack, jax.Array):
+            rows_stack = jax.device_put(
+                np.ascontiguousarray(rows_stack, dtype=np.int32))
+        with self._safe_grads_ctx():
+            fn = self._get_multi_indexed_aug_step(aug, int(num_classes))
+            new_params, new_states, self._cache, self._ema, losses, preds = fn(
+                params, states, self._cache, self._ema, images, labels,
+                rngs, rows_stack, self.optimiser.device_lr())
+        self._commit(new_params, new_states)
+        return losses, preds

@@ -112,7 +112,7 @@ def write_synth_packed(out_dir, classes, per_class, precrop, seed_base=0):
     return n
 
 
-def run(steps, out_dir, eval_every=None, log_every=10):
+def run(steps, out_dir, eval_every=None, log_every=10, cam_out=None):
     import dorknet_tpu
     from dorknet_tpu.data_loading import DeviceResidentDataset
     from dorknet_tpu.models import ResNet18
@@ -190,6 +190,32 @@ def run(steps, out_dir, eval_every=None, log_every=10):
                 log(rec)
 
         os.makedirs(out_dir, exist_ok=True)
+        cam_dirs = []
+        if cam_out:
+            # CAM overlays from THIS genuinely-trained 120-class network on
+            # held-out images — the executable stand-in for the reference's
+            # released-checkpoint CAM gallery
+            # (/root/reference/CAM_images/0_Bouvier_des_Flandres.png), via
+            # the CAM example's own run_one (same code path a user runs).
+            import cv2
+            from examples.imagenet_dogs_225_resnet_18_depsep_CAM import \
+                run_one
+            from dorknet_tpu.data_loading import ImagePreprocessor
+
+            pp = ImagePreprocessor(image_size=(IMAGE, IMAGE),
+                                   crop_mode="center")
+            names = {str(i): n for i, n in enumerate(dd.class_names)}
+            img_dir = os.path.join(tmp, "photos")
+            os.makedirs(img_dir)
+            for j in (0, len(yv) // 2, len(yv) - 1):
+                fname = "val%03d_true_class%03d.png" % (j, yv[j])
+                cv2.imwrite(os.path.join(img_dir, fname),
+                            np.asarray(vp.images[j]))
+                dst = os.path.join(cam_out, os.path.splitext(fname)[0])
+                run_one(net, pp, names, os.path.join(img_dir, fname), dst)
+                cam_dirs.append(dst)
+            log("CAM overlays written: {}".format(cam_dirs))
+
         traj_path = os.path.join(out_dir, "synth_dogs_trajectory.jsonl")
         with open(traj_path, "w") as f:
             for rec in traj:
@@ -201,6 +227,7 @@ def run(steps, out_dir, eval_every=None, log_every=10):
             "final_val_acc": traj[-1].get("val_acc"),
             "chance": round(1.0 / CLASSES, 4),
             "trajectory": traj_path,
+            "cam_dirs": cam_dirs,
         }
         print(json.dumps(summary))
         return summary
@@ -216,9 +243,11 @@ def main():
     ap.add_argument("--out", default="artifacts/round5")
     ap.add_argument("--eval-every", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--cam-out", default=None,
+                    help="write 3 held-out CAM overlay galleries here")
     args = ap.parse_args()
     run(args.steps, args.out, eval_every=args.eval_every,
-        log_every=args.log_every)
+        log_every=args.log_every, cam_out=args.cam_out)
     return 0
 
 

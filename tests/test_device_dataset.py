@@ -172,6 +172,48 @@ def test_indexed_training_learns(packed_dir):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.8
 
 
+def test_multi_step_augmented_indexed_equals_sequential(packed_dir):
+    """One K-step scan dispatch over (K, B) index stacks == K sequential
+    indexed steps (post-BN-init; the fresh-net call exercises the
+    single-step fallback), including the param trajectory."""
+    K = 3
+    dd = DeviceResidentDataset(packed_dir, batch_size=4, class_balance=False)
+    net_a, net_b = build_net("mk-idx"), build_net("seq-idx")
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9))
+
+    np.random.seed(5)
+    rows0 = np.stack([dd.next_indices() for _ in range(K)])
+    keys0 = jax.random.split(jax.random.PRNGKey(11), K)
+    # fresh-net call: BN uninitialised -> K-single-step fallback
+    losses_a, preds_a = tr_a.multi_step_augmented_indexed(
+        keys0, dd.images, dd.labels, rows0, OUT, dd.num_classes, **AUG)
+    assert losses_a.shape == (K,)
+    for i in range(K):
+        li, _ = tr_b.step_augmented_indexed(
+            keys0[i], dd.images, dd.labels, rows0[i], OUT, dd.num_classes,
+            **AUG)
+        np.testing.assert_allclose(float(losses_a[i]), float(li),
+                                   rtol=1e-5, atol=1e-6)
+
+    # steady state: the real one-dispatch scan vs sequential steps
+    rows1 = np.stack([dd.next_indices() for _ in range(K)])
+    keys1 = jax.random.split(jax.random.PRNGKey(12), K)
+    losses_a, _ = tr_a.multi_step_augmented_indexed(
+        keys1, dd.images, dd.labels, rows1, OUT, dd.num_classes, **AUG)
+    for i in range(K):
+        li, _ = tr_b.step_augmented_indexed(
+            keys1[i], dd.images, dd.labels, rows1[i], OUT, dd.num_classes,
+            **AUG)
+        np.testing.assert_allclose(float(losses_a[i]), float(li),
+                                   rtol=1e-5, atol=1e-6)
+    pa = jax.tree_util.tree_leaves([l.get_params() for l in net_a.layers])
+    pb = jax.tree_util.tree_leaves([l.get_params() for l in net_b.layers])
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_fits_in_hbm(packed_dir):
     dd = DeviceResidentDataset(packed_dir, batch_size=4)
     assert fits_in_hbm(dd.packed)

@@ -349,11 +349,12 @@ def test_bench_pipeline_sections_smoke():
         batch_size=4, image=36, classes=5, rounds=1)
     assert aug_ips > 0 and tr_ips > 0
 
-    (e2e_ips, e2e_fused_ips, e2e_stream, e2e_packed,
+    (e2e_ips, e2e_fused_ips, e2e_stream, e2e_packed, e2e_packed_multi,
      e2e_only) = bench.bench_e2e_train(steps=2, batch_size=8, image=36,
                                        classes=2)
     assert e2e_ips > 0 and e2e_fused_ips > 0
     assert e2e_stream > 0 and e2e_packed > 0 and e2e_only > 0
+    assert e2e_packed_multi > 0
 
 
 def test_bench_pallas_check_smoke():
@@ -629,7 +630,8 @@ def _stub_sections(monkeypatch, bench, called):
     monkeypatch.setattr(bench, "bench_aug_vs_train_interleaved",
                         rec("aug_vs_train", (100.0, 50.0, 200.0)))
     monkeypatch.setattr(bench, "bench_e2e_train",
-                        rec("e2e", (400.0, 800.0, 900.0, 9000.0, 10000.0)))
+                        rec("e2e",
+                            (400.0, 800.0, 900.0, 9000.0, 9500.0, 10000.0)))
     monkeypatch.setattr(bench, "bench_aug_pipeline",
                         rec("aug_pipeline", (100.0, 200.0)))
     rl = {"train_flops": 1e12, "sol_ms_xla": 10.0, "sol_ms_perfect": 8.0}
