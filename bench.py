@@ -1293,8 +1293,11 @@ def main():
         # pre-decoded path vs the same-window train-only wall ceiling
         if time_left() > 120:
             try:
+                # a late window gets fewer timed steps (same keys): the
+                # section's cost is dominated by its ~6 compiles either way
                 (e2e_ips, e2e_fused_ips, e2e_stream, e2e_packed,
-                 e2e_packed_multi, e2e_only) = bench_e2e_train()
+                 e2e_packed_multi, e2e_only) = bench_e2e_train(
+                     steps=6 if reduced else 12)
                 results["e2e_train_ips"] = round(e2e_ips, 1)
                 results["e2e_train_fused_ips"] = round(e2e_fused_ips, 1)
                 # headline packed key = the HBM-resident indexed path (the
