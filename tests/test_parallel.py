@@ -566,3 +566,49 @@ def test_multihost_two_process_dryrun_matches_single_process():
     report = run_dryrun(num_processes=2, local_devices=2)
     assert report["ok"]
     assert len(report["losses"]) == 3
+
+
+def test_dp_indexed_resident_matches_single_device():
+    """The HBM-resident indexed step under DP batch sharding == unsharded:
+    rows shard over the data axis ((B,) via _sharding_for(1)), the dataset
+    array is replicated, and the in-program gather/one-hot/aug/train keeps
+    global-jit semantics — the same equality class that caught the XLA SPMD
+    dw-grad bug for the direct steps."""
+    rng = np.random.RandomState(3)
+    N, B, C = 40, 16, 8
+    images = rng.randint(0, 255, (N, 12, 12, 3), dtype=np.uint8)
+    labels = rng.randint(0, C, N).astype(np.int32)
+    aug = dict(hsv_pert_tuples=((0.9, 1.1), (0.8, 1.2), (0.8, 1.2)),
+               rotation_tuple=(-10.0, 10.0), horizontal_flip_prob=0.5,
+               crop_mode="random", mixup=(0.0, 0.3))
+
+    net_a = build(5)
+    tr_a = Trainer(net_a, SGDMomentum(net_a, 0.05, 0.9))
+
+    mesh = make_mesh({"data": 8})
+    net_b = build(5)
+    tr_b = Trainer(net_b, SGDMomentum(net_b, 0.05, 0.9),
+                   batch_sharding=batch_sharding(mesh))
+    imgs_repl = jax.device_put(images, replicated(mesh))
+    labs_repl = jax.device_put(labels, replicated(mesh))
+
+    key = jax.random.PRNGKey(9)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        rows = rng.randint(0, N, B).astype(np.int32)
+        la, pa = tr_a.step_augmented_indexed(
+            k, jnp.asarray(images), jnp.asarray(labels), rows, (8, 8), C,
+            **aug)
+        lb, pb = tr_b.step_augmented_indexed(
+            k, imgs_repl, labs_repl, rows, (8, 8), C, **aug)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[0].learned_params["weights"]),
+        np.asarray(net_b.layers[0].learned_params["weights"]),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(net_a.layers[1].non_learned_params["running_mean"]),
+        np.asarray(net_b.layers[1].non_learned_params["running_mean"]),
+        rtol=1e-4, atol=1e-6)
