@@ -174,6 +174,17 @@ class ImageDataLoader:
                     "preprocessor wants precrop {} — repack with "
                     "scripts/pack_dataset.py".format(
                         base_folder, self.packed.precrop, want))
+            from dorknet_tpu.data_loading.device_dataset import fits_in_hbm
+
+            if fits_in_hbm(self.packed):
+                # advisory only: the resident path measured 89-91% of the
+                # train-only ceiling vs per-step batch uploads (PERF.md r5)
+                print("ImageDataLoader: packed dataset fits in HBM "
+                      "({:.0f} MB) — DeviceResidentDataset + "
+                      "Trainer.step_augmented_indexed avoids per-step "
+                      "image uploads entirely".format(
+                          self.packed.images.nbytes / 1e6),
+                      file=sys.stderr)
         else:
             self.class_name_num_map, per_class_paths, self.samples = (
                 discover_dataset(base_folder))
