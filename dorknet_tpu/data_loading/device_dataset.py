@@ -19,6 +19,9 @@ datasets stay on the streaming packed path (``ImageDataLoader`` over a
 packed dir). ``fits_in_hbm`` is the advisory check.
 """
 
+import json
+import os
+
 import numpy as np
 
 import jax
@@ -26,7 +29,7 @@ import jax.numpy as jnp
 
 from dorknet_tpu.data_loading.image_data_loader import ImageDataLoader
 from dorknet_tpu.data_loading.image_preprocessor import ImagePreprocessor
-from dorknet_tpu.data_loading.packed_dataset import PackedDataset
+from dorknet_tpu.data_loading.packed_dataset import PACKED_META
 
 # Per-chunk upload bound: a single bulk device_put of the whole dataset can
 # stall for tens of minutes through a degraded link (CLAUDE.md), and each
@@ -57,9 +60,19 @@ class DeviceResidentDataset:
 
     def __init__(self, packed_path, batch_size, class_balance=True,
                  data_shard=None, sharding=None,
-                 chunk_bytes=_DEFAULT_CHUNK_BYTES, log=None):
-        self.packed = PackedDataset(packed_path)
-        ph, pw = self.packed.precrop
+                 chunk_bytes=_DEFAULT_CHUNK_BYTES, expect_precrop=None,
+                 log=None):
+        # meta-only peek for the precrop (cheap; the mmap + row map are
+        # opened ONCE, by the sampler below, and reused from it)
+        with open(os.path.join(packed_path, PACKED_META)) as f:
+            ph, pw = json.load(f)["precrop"]
+        if expect_precrop is not None and tuple(expect_precrop) != (ph, pw):
+            raise ValueError(
+                "packed dataset {} holds {}-pixel canvases but "
+                "expect_precrop={} — repack with scripts/pack_dataset.py "
+                "(a stale pack from a different image size trains with "
+                "wrong crop geometry)".format(
+                    packed_path, (ph, pw), tuple(expect_precrop)))
         # thread-less sampler: reuses the full sampling protocol; the
         # preprocessor exists only to satisfy the precrop-consistency check
         # (out size is irrelevant — this loader never decodes or crops)
@@ -69,7 +82,8 @@ class DeviceResidentDataset:
                                            precrop_size=(pw, ph)),
             class_balance=class_balance, data_shard=data_shard,
             emit_hwc_uint8=True, start_thread=False)
-        self._row_of = {p: i for i, p in enumerate(self.packed.paths)}
+        self.packed = self._sampler.packed
+        self._row_of = self._sampler._packed_row
         self.batch_size = int(batch_size)
         self.num_classes = len(self.packed.class_names)
         self.class_names = list(self.packed.class_names)
@@ -77,19 +91,28 @@ class DeviceResidentDataset:
         src_img, src_lbl = self.packed.images, self.packed.labels
         rows_per_chunk = max(1, int(chunk_bytes) // max(
             1, src_img[0].nbytes if len(src_img) else 1))
-        chunks = []
+        # Preallocate the full device buffer and fill it per chunk with a
+        # DONATED dynamic_update_slice: peak HBM stays at dataset + one
+        # chunk. (The obvious jnp.concatenate over all uploaded chunks
+        # holds dataset + full copy — 2x — which OOMs exactly the
+        # fits_in_hbm-sized datasets this class targets.)
+        buf = jax.jit(lambda: jnp.zeros(src_img.shape, src_img.dtype),
+                      out_shardings=sharding)()
+        update = jax.jit(
+            lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(
+                b, c, s, axis=0),
+            donate_argnums=(0,))
         for start in range(0, len(src_img), rows_per_chunk):
             c = jax.device_put(np.ascontiguousarray(
                 src_img[start:start + rows_per_chunk]), sharding)
+            buf = update(buf, c, start)
             # true sync per chunk (block_until_ready is unreliable on axon)
-            np.asarray(c[0, 0, 0])
-            chunks.append(c)
+            np.asarray(buf[start, 0, 0])
             if log:
                 log("device dataset: uploaded {}/{} rows".format(
                     min(start + rows_per_chunk, len(src_img)),
                     len(src_img)))
-        self.images = (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
-                       else chunks[0])
+        self.images = buf
         self.labels = jax.device_put(
             np.ascontiguousarray(src_lbl, dtype=np.int32), sharding)
         np.asarray(self.labels[0])

@@ -176,7 +176,11 @@ class ImageDataLoader:
                         base_folder, self.packed.precrop, want))
             from dorknet_tpu.data_loading.device_dataset import fits_in_hbm
 
-            if fits_in_hbm(self.packed):
+            # advisory only for a real streaming loader: sampler-only
+            # constructions (start_thread=False — notably the one INSIDE
+            # DeviceResidentDataset) must not recommend the path they are
+            # already part of
+            if start_thread and fits_in_hbm(self.packed):
                 # advisory only: the resident path measured 89-91% of the
                 # train-only ceiling vs per-step batch uploads (PERF.md r5)
                 print("ImageDataLoader: packed dataset fits in HBM "

@@ -71,13 +71,15 @@ if __name__ == "__main__":
     resident_ds = None
     if DEVICE_RESIDENT:
         from dorknet_tpu.data_loading import DeviceResidentDataset
+        from dorknet_tpu.data_loading.device_dataset import fits_in_hbm
         from dorknet_tpu.data_loading.packed_dataset import (
-            is_packed_dir, write_packed_dataset)
+            PackedDataset, is_packed_dir, write_packed_dataset)
 
         train_root = os.path.join(
             data_folder, "ImageNet2012/ILSVRC2012_dogs/train_img")
         train_preprocessor = ImagePreprocessor(
             image_size=(IMAGE_SIZE, IMAGE_SIZE), crop_mode="random")
+        pw, ph = train_preprocessor.precrop_size  # (w, h)
         if is_packed_dir(train_root):
             packed_root = train_root
         else:
@@ -85,16 +87,39 @@ if __name__ == "__main__":
             # (scripts/pack_dataset.py produces the same thing offline)
             packed_root = train_root.rstrip("/") + "_packed"
             if not is_packed_dir(packed_root):
-                pw, ph = train_preprocessor.precrop_size  # (w, h)
                 print("packing {} -> {} (one-time decode)".format(
                     train_root, packed_root))
                 write_packed_dataset(train_root, packed_root, (ph, pw),
                                      num_workers=NUM_WORKERS,
                                      use_native_loader=True)
-        # one-time chunked upload; per-step host traffic is (B,) indices
-        resident_ds = DeviceResidentDataset(packed_root, BATCH_SIZE,
-                                            class_balance=False)
-        train_data_loader = None
+        if not fits_in_hbm(PackedDataset(packed_root)):
+            # the full 150k-image dogs set at 281px is ~35 GB — far past a
+            # single chip's HBM; fall back to the streaming packed loader
+            # (mmap row gathers + on-device augment) instead of OOMing
+            # mid-upload
+            print("DEVICE_RESIDENT: packed dataset exceeds the HBM budget "
+                  "— falling back to the streaming packed loader "
+                  "(on-device augment)")
+            resident_ds = None
+            # flip the effective mode so the rest of the script (lr scaling,
+            # steps-per-epoch, the training-loop branch) follows the
+            # streaming on-device-augment path
+            DEVICE_RESIDENT = False
+            ON_DEVICE_AUGMENT = True
+            train_data_loader = ImageDataLoader(
+                packed_root, BATCH_SIZE, train_preprocessor,
+                class_balance=False, num_workers=NUM_WORKERS,
+                emit_hwc_uint8=True)
+        else:
+            # one-time chunked upload; per-step host traffic is (B,)
+            # indices. expect_precrop catches a stale pack left behind by
+            # a run at a different DORKNET_IMAGE (silent wrong-geometry
+            # training otherwise: the resident sampler adopts the pack's
+            # own precrop, bypassing the streaming loader's check).
+            resident_ds = DeviceResidentDataset(packed_root, BATCH_SIZE,
+                                                class_balance=False,
+                                                expect_precrop=(ph, pw))
+            train_data_loader = None
     elif ON_DEVICE_AUGMENT:
         # host: decode + precrop-resize only; crop/HSV/rot/flip/mixup run as
         # one jitted program on the TPU (device_augment.train_pipeline)

@@ -292,6 +292,7 @@ CASES = {
     "depthwise_s1": case_depthwise_s1,
     "depthwise_s2": case_depthwise_s2,
     "matmul": case_matmul,
+    "matmul_bn_stats": case_matmul_bn_stats,
     "bn_stats": case_bn_stats,
     "flagship_dp_tp_step": case_flagship_dp_tp_step,
 }

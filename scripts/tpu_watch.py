@@ -123,7 +123,15 @@ def main() -> int:
     args = ap.parse_args()
 
     battery = []
-    for name in (n.strip() for n in args.battery.split(",") if n.strip()):
+    names = [n.strip() for n in args.battery.split(",") if n.strip()]
+    unknown = [n for n in names if n not in BATTERY_REGISTRY]
+    if unknown:
+        # fail usably at launch: this script typically runs detached for
+        # hours — a raw KeyError would only surface in an empty log later
+        print("unknown battery item(s) {}; have {}".format(
+            unknown, sorted(BATTERY_REGISTRY)), file=sys.stderr)
+        return 2
+    for name in names:
         argv, timeout_s, extra_env = BATTERY_REGISTRY[name]
         battery.append((name, argv, timeout_s, extra_env))
 
