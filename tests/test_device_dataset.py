@@ -218,3 +218,39 @@ def test_fits_in_hbm(packed_dir):
     dd = DeviceResidentDataset(packed_dir, batch_size=4)
     assert fits_in_hbm(dd.packed)
     assert not fits_in_hbm(dd.packed, budget_bytes=100)
+
+
+def test_expect_precrop_guard(packed_dir):
+    """A stale pack (different canvas size than the caller intends) is
+    rejected at construction — the resident sampler otherwise adopts the
+    pack's own precrop and bypasses the streaming loader's mismatch check,
+    silently training with wrong crop geometry."""
+    DeviceResidentDataset(packed_dir, batch_size=4,
+                          expect_precrop=(PRECROP, PRECROP))  # matches: ok
+    with pytest.raises(ValueError, match="repack"):
+        DeviceResidentDataset(packed_dir, batch_size=4,
+                              expect_precrop=(PRECROP + 8, PRECROP + 8))
+
+
+def test_sampler_state_shared_not_duplicated(packed_dir):
+    """The pack is opened ONCE: the dataset's packed/_row_of are the
+    sampler's own objects (no second mmap, no second O(N) row map)."""
+    dd = DeviceResidentDataset(packed_dir, batch_size=4)
+    assert dd.packed is dd._sampler.packed
+    assert dd._row_of is dd._sampler._packed_row
+
+
+def test_hbm_advisory_only_for_threaded_loaders(packed_dir, capsys):
+    """The fits-in-HBM hint fires for a real streaming loader but NOT for
+    sampler-only (start_thread=False) constructions — notably the one
+    inside DeviceResidentDataset, which must not recommend the path it is
+    already part of."""
+    pp = ImagePreprocessor((OUT[0], OUT[1]), crop_mode="random",
+                           precrop_size=(PRECROP, PRECROP))
+    DeviceResidentDataset(packed_dir, batch_size=4)
+    assert "DeviceResidentDataset" not in capsys.readouterr().err
+    loader = ImageDataLoader(packed_dir, 4, pp, start_thread=True)
+    try:
+        assert "DeviceResidentDataset" in capsys.readouterr().err
+    finally:
+        loader.stop_thread()
