@@ -92,7 +92,12 @@ if __name__ == "__main__":
                 write_packed_dataset(train_root, packed_root, (ph, pw),
                                      num_workers=NUM_WORKERS,
                                      use_native_loader=True)
-        if not fits_in_hbm(PackedDataset(packed_root)):
+        # DORKNET_HBM_BUDGET (bytes) overrides the default dataset budget —
+        # an ops knob for smaller chips, and what makes the fallback branch
+        # CI-testable at toy scale
+        hbm_budget = int(os.environ.get("DORKNET_HBM_BUDGET", 8 << 30))
+        if not fits_in_hbm(PackedDataset(packed_root),
+                           budget_bytes=hbm_budget):
             # the full 150k-image dogs set at 281px is ~35 GB — far past a
             # single chip's HBM; fall back to the streaming packed loader
             # (mmap row gathers + on-device augment) instead of OOMing

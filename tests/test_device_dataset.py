@@ -254,3 +254,18 @@ def test_hbm_advisory_only_for_threaded_loaders(packed_dir, capsys):
         assert "DeviceResidentDataset" in capsys.readouterr().err
     finally:
         loader.stop_thread()
+
+
+def test_upload_with_replicated_mesh_sharding(packed_dir):
+    """Constructor `sharding=` path (the DP deployment shape: dataset
+    replicated over the mesh, (B,) indices per step): the preallocate +
+    donated-update upload must land byte-exact on every device."""
+    from dorknet_tpu.parallel.mesh import make_mesh, replicated
+
+    mesh = make_mesh({"data": len(jax.devices())})
+    dd = DeviceResidentDataset(packed_dir, batch_size=4,
+                               sharding=replicated(mesh),
+                               chunk_bytes=5 * PRECROP * PRECROP * 3)
+    np.testing.assert_array_equal(np.asarray(dd.images), dd.packed.images)
+    np.testing.assert_array_equal(np.asarray(dd.labels), dd.packed.labels)
+    assert dd.images.sharding.is_fully_replicated

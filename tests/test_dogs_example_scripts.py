@@ -161,6 +161,31 @@ def test_training_script_device_resident_mode(dogs_env):
     assert any(r.get("device_resident") for r in recs)
 
 
+def test_training_script_device_resident_hbm_fallback(dogs_env):
+    """DORKNET_DEVICE_RESIDENT=1 with a dataset that exceeds the HBM budget
+    (forced tiny via DORKNET_HBM_BUDGET): the script must fall back to the
+    streaming packed loader + on-device augment instead of OOMing
+    mid-upload — the metrics sidecar records the EFFECTIVE mode."""
+    assert "ckpt" in _produced, "training test must run first"
+    os.environ["DORKNET_RESTART_CKPT"] = _produced["ckpt"]
+    os.environ["DORKNET_START_EPOCH"] = "1"
+    os.environ["DORKNET_DEVICE_RESIDENT"] = "1"
+    os.environ["DORKNET_HBM_BUDGET"] = "1024"  # 1 KB: nothing fits
+    try:
+        _run("examples.imagenet_dogs_225_resnet_18_depsep")
+    finally:
+        for k in ("DORKNET_RESTART_CKPT", "DORKNET_START_EPOCH",
+                  "DORKNET_DEVICE_RESIDENT", "DORKNET_HBM_BUDGET"):
+            os.environ.pop(k, None)
+    assert glob.glob(str(dogs_env / "CITinyDogs" / "epoch_1_testacc_*.h5"))
+    mfile = dogs_env / "logging" / "CITinyDogs.metrics.jsonl"
+    recs = [json.loads(l) for l in open(mfile)]
+    # the LAST bind must show the fallback took effect
+    binds = [r for r in recs if "device_resident" in r]
+    assert binds and not binds[-1]["device_resident"]
+    assert binds[-1]["on_device_augment"]
+
+
 def test_cam_script_writes_overlays(dogs_env):
     """The CAM example's __main__: load checkpoint, top-3 CAM overlays per
     image in dog_images/ (the reference's CAM_images/ outputs)."""
