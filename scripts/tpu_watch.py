@@ -60,6 +60,12 @@ BATTERY_REGISTRY = {
           "96", "112", "128", "144"], 900, {}),
     "dogs_convergence":
         ([sys.executable, "-m", "scripts.train_synth_dogs"], 3600, {}),
+    # dataset-free demos — on-chip smoke of the serving ladder and the
+    # train->CAM flow (CI runs them on CPU; this captures a real-TPU log)
+    "serving_demo":
+        ([sys.executable, "-m", "examples.serving_demo"], 1500, {}),
+    "cam_demo":
+        ([sys.executable, "-m", "examples.synthetic_cam_demo"], 1500, {}),
 }
 
 # session-5 refresh: profile_aug / serving_sweep were captured (PERF.md
